@@ -1,0 +1,226 @@
+"""Typed configuration objects for every pipeline in the framework.
+
+The reference codebase (lr-xiang/StereoMatch) hard-codes all of its algorithm
+constants inline (SGBM params `src/StereoMatching.cpp:156-173`, PatchMatch
+`src/pm.cpp:4-6`, 3DMST `src/Stereo3DMST.cpp:830-832`, guided filter
+`src/PatchMatchStereoGPU.cu:9000-9001`, variational denoise
+`src/PatchMatchStereoGPU.cu:7860-7880`).  Here every constant lives in one
+frozen (hashable) dataclass so configs can be passed as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CensusConfig:
+    """Ternary census stereo (ref: src/StereoMatching.cpp:27-114).
+
+    The reference uses a 9x17 window (win_rw=4 horizontal half-width,
+    win_rh=8 vertical half-width), a 3-level census with dead-band
+    ``epsilon`` on [0,1]-normalized intensities, Hamming cost and WTA over
+    d in [0, d_max].
+    """
+
+    win_rw: int = 4
+    win_rh: int = 8
+    epsilon: float = 0.0045
+    d_max: int = 50
+
+
+@dataclass(frozen=True)
+class SGBMConfig:
+    """SGBM parameter surface, mirroring OpenCV StereoSGBM as configured by
+    the reference (src/StereoMatching.cpp:148-193): blockSize 5,
+    P1=8*cn*bs^2, P2=32*cn*bs^2, minDisparity 16, numDisparities 16*k,
+    uniquenessRatio 10, speckle 100/32, disp12MaxDiff 1, MODE_HH (full
+    8-path).
+    """
+
+    min_disp: int = 16
+    num_disp: int = 256
+    block_size: int = 5
+    channels: int = 1
+    p1: int | None = None  # default 8 * channels * block_size**2
+    p2: int | None = None  # default 32 * channels * block_size**2
+    prefilter_cap: int = 63
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    disp12_max_diff: int = 1
+    num_paths: int = 8  # MODE_HH
+
+    def resolved_p1p2(self) -> tuple[int, int]:
+        bs2 = self.block_size * self.block_size
+        p1 = self.p1 if self.p1 is not None else 8 * self.channels * bs2
+        p2 = self.p2 if self.p2 is not None else 32 * self.channels * bs2
+        return p1, p2
+
+
+@dataclass(frozen=True)
+class CostVolumeConfig:
+    """Pixelwise truncated AD + gradient BGR cost volume
+    (ref: buildCostVolumeSharedMemoryBGR, src/PatchMatchStereoGPU.cu:1482-1550):
+    cost = 0.11*min(L1color/3, 7) + 0.89*min(|d forward-gradient|, 2),
+    out-of-range pixels get bad_cost. Images are local-contrast (box-mean
+    subtracted) beforehand in the production pipeline
+    (src/PatchMatchStereoGPU.cu:8947-8961).
+    """
+
+    min_disp: int = 0
+    max_disp: int = 127
+    color_truncation: float = 7.0
+    gradient_truncation: float = 2.0
+    bad_cost: float = 3.0
+    color_weight: float = 0.11
+    gradient_weight: float = 0.89
+    mean_subtract_radius: int = 17  # local-contrast box radius
+
+    @property
+    def num_disp(self) -> int:
+        return self.max_disp - self.min_disp + 1
+
+
+@dataclass(frozen=True)
+class ZNCCConfig:
+    """Windowed ZNCC/AD/AGD gray cost volume
+    (ref: buildCostVolumeSharedMemory, src/PatchMatchStereoGPU.cu:1298-1479).
+    """
+
+    min_disp: int = 0
+    max_disp: int = 127
+    win_radius: int = 4
+    metric: str = "zncc"  # "zncc" | "ad" | "agd"
+    bad_cost: float = 1.0
+
+
+@dataclass(frozen=True)
+class GuidedFilterConfig:
+    """Guided-filter cost-volume smoothing (ref production constants
+    eps=(0.01*255)^2, win_rad=9, src/PatchMatchStereoGPU.cu:9000-9001)."""
+
+    radius: int = 9
+    eps: float = (0.01 * 255.0) ** 2
+    slab: int = 16  # disparity slices filtered per scan step (memory knob)
+
+
+@dataclass(frozen=True)
+class DenoiseConfig:
+    """Weighted-Huber (Newcombe-style) primal-dual disparity denoise
+    (ref: variationalDisparityDenoise, src/PatchMatchStereoGPU.cu:7809-7940;
+    kernels :1042-1126). Constants from .cu:7860-7880: delta=gamma=0.00159,
+    sigma=1/(8*0.02), tau=0.02, per-pixel weight exp(-alpha*|grad I|^beta)
+    with alpha=10, beta=1; lambda=0.5 at the call site (.cu:9226-9227).
+    """
+
+    lam: float = 0.5
+    delta: float = 0.00159
+    gamma: float = 0.00159
+    sigma: float = 1.0 / (8.0 * 0.02)
+    tau: float = 0.02
+    alpha: float = 10.0
+    beta: float = 1.0
+    iterations: int = 100
+
+
+@dataclass(frozen=True)
+class PatchMatchConfig:
+    """Slanted-plane PatchMatch stereo.
+
+    CPU reference (src/pm.cpp:4-6, pm.h:159-162): WINDOW_SIZE=35,
+    MAX_DISPARITY=60, PLANE_PENALTY=120, adaptive weight
+    w(p,q)=exp(-||dc||_1/gamma) with gamma=10 (caller), dissimilarity
+    (1-alpha)*min(||dc||_1, tau_c) + alpha*min(||dgrad||_1, tau_g).
+    GPU reference (src/PatchMatchStereoGPU.cu:861-998, :1740-2010).
+
+    The TPU build evaluates the window cost on a subsampled tap grid
+    (``tap_stride``) instead of materializing the rows*cols*35*35 weight
+    tensor of pm.cpp:447-487 — same trick the reference's own huber variant
+    uses (window subsampled stride 5, .cu:3126-3128).
+    """
+
+    alpha: float = 0.9
+    gamma: float = 10.0
+    tau_c: float = 10.0
+    tau_g: float = 2.0
+    window_size: int = 35
+    tap_stride: int = 5
+    min_disp: float = 0.0
+    max_disp: float = 60.0
+    plane_penalty: float = 120.0
+    iterations: int = 3
+    refine_end_dz: float = 0.1
+
+
+@dataclass(frozen=True)
+class MSTConfig:
+    """Stereo3DMST: segment-tree (MST forest) cost aggregation with 3D plane
+    labels (ref: src/Stereo3DMST.cpp). Constants from Stereo3DMST.cpp:830-832:
+    gamma=1/12, c=5000, min_cc_size=200; Dmax=100 and 100 iterations from the
+    stereo_Yin.cpp:207 call site.
+    """
+
+    gamma: float = 1.0 / 12.0
+    c: float = 5000.0
+    min_cc_size: int = 200
+    max_disp: int = 100
+    iterations: int = 100
+    median_prefilter: int = 3
+    # Split trees whose root-distance dynamic range exceeds this bound so the
+    # exp-factorized aggregation stays in fp32 range; contributions beyond
+    # exp(-40) ~ 4e-18 are numerically zero in the reference's own
+    # accumulation, so this is a lossless-in-practice approximation.
+    max_log_range: float = 40.0
+
+
+@dataclass(frozen=True)
+class LRCheckConfig:
+    """Left-right consistency check + occlusion fill
+    (ref: leftRightConsistencyCheck, src/Stereo3DMST.cpp:632-710)."""
+
+    max_diff: float = 1.0
+    fill: bool = True
+
+
+@dataclass(frozen=True)
+class WeightedMedianConfig:
+    """Color-weighted median filter (ref: pm.cpp:396-435 with 35x35 window;
+    GPU 21x21 occluded-only variant .cu:2436-2600)."""
+
+    window_size: int = 21
+    gamma: float = 10.0
+    tap_stride: int = 2
+    bisect_iters: int = 10
+    occluded_only: bool = True
+
+
+@dataclass(frozen=True)
+class RectifyConfig:
+    """Stereo rectification (ref: cv::stereoRectify call at
+    src/stereo_opencv.cpp:121 with CALIB_ZERO_DISPARITY, alpha=-1)."""
+
+    zero_disparity: bool = True
+    alpha: float = -1.0
+
+
+@dataclass(frozen=True)
+class SGBMPipelineConfig:
+    sgbm: SGBMConfig = SGBMConfig()
+    lr: LRCheckConfig = LRCheckConfig()
+
+
+@dataclass(frozen=True)
+class CostVolumePipelineConfig:
+    """costVolumeStereoPlusVariationalDenoise pipeline config
+    (ref: src/PatchMatchStereoGPU.cu:8776-9410)."""
+
+    volume: CostVolumeConfig = CostVolumeConfig()
+    guided: GuidedFilterConfig = GuidedFilterConfig()
+    denoise: DenoiseConfig = DenoiseConfig()
+
+
+def replace(cfg, **kwargs):
+    """Convenience: dataclasses.replace re-export."""
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,48 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is tested the standard JAX way — with
+XLA_FLAGS=--xla_force_host_platform_device_count (see SURVEY.md §4) — so no
+TPU pod is needed to exercise pjit/shard_map paths.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def flir_pair():
+    """One bundled FLIR stereo pair at reduced resolution (fast tests)."""
+    from stereomatch_tpu.io import load_image
+
+    left = load_image(f"{REFERENCE}/build/000020_191400042.jpg")
+    right = load_image(f"{REFERENCE}/build/000020_191400039.jpg")
+    # downsample 4x for test speed
+    return left[::4, ::4], right[::4, ::4]
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
