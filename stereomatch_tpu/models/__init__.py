@@ -1,0 +1,17 @@
+"""Stereo pipeline families (the framework's "models").
+
+Each pipeline is a pure jittable function from a rectified stereo pair to
+disparity maps, mirroring one of the reference's five stereo engines:
+
+  costvolume  — AD+gradient volume + guided filter + WTA + Huber denoise
+                (ref: costVolumeStereoPlusVariationalDenoise,
+                src/PatchMatchStereoGPU.cu:8776-9410)
+  census      — ternary census + WTA (ref: src/StereoMatching.cpp:27-114)
+  sgbm        — 8-path semi-global matching (ref: OpenCV StereoSGBM wrapper,
+                src/StereoMatching.cpp:148-193)
+  mst         — Stereo3DMST segment-tree aggregation (ref: src/Stereo3DMST.cpp)
+  patchmatch  — slanted-plane PatchMatch (ref: src/pm.cpp,
+                src/PatchMatchStereoGPU.cu:2602-3023)
+"""
+
+from .costvolume import cost_volume_stereo, CostVolumeOutput  # noqa: F401

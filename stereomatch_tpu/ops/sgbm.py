@@ -1,0 +1,279 @@
+"""Semi-global matching (SGBM) as vectorized (min,+) scans.
+
+The reference's namesake algorithm is OpenCV's StereoSGBM, configured at
+src/StereoMatching.cpp:148-193 (blockSize 5, P1=8*cn*bs^2, P2=32*cn*bs^2,
+uniqueness 10, speckle 100/32, disp12MaxDiff 1, MODE_HH full 8-path,
+prefilterCap 63) and invoked with numDisparities=16*16 from
+src/stereo_opencv.cpp:150. This module re-derives that algorithm TPU-first:
+
+  - pixel cost: Birchfield-Tomasi on the x-Sobel-prefiltered image plus a
+    quarter-weighted BT on raw intensity (OpenCV's calcPixelCostBT blend),
+    summed over the blockSize window with a cumsum box filter;
+  - 8-path aggregation: the per-pixel DP recurrence
+      Lr(p,d) = C(p,d) + min(Lr(p-r,d), Lr(p-r,d±1)+P1, minLr(p-r)+P2)
+                - minLr(p-r)
+    becomes FOUR `lax.scan`s: one down-scan carrying the three downward
+    directions (S, SE, SW — the diagonals are the same row recurrence with
+    the carry shifted one column), one up-scan for N, NE, NW, and two
+    column scans for E/W. Each scan step is an (dirs, W, D) fused
+    elementwise min — the hot loop is pure VPU work with D on the lane dim;
+  - WTA + uniqueness ratio + quadratic subpixel + left/right (disp12)
+    invalidation, all vectorized.
+
+Speckle filtering lives in ops/speckle.py (parallel connected components).
+Outputs are float32 disparities (the reference converts OpenCV's CV_16S
+fixed point back to float /16, src/StereoMatching.cpp:186-189; we never
+leave float). Invalid pixels get `INVALID_DISP` = min_disp - 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SGBMConfig
+
+__all__ = [
+    "xsobel_clipped",
+    "bt_cost_volume",
+    "sgbm_cost_volume",
+    "aggregate_8path",
+    "sgbm_disparity",
+    "SGBMOutput",
+]
+
+_BIG = jnp.float32(1e9)
+
+
+def xsobel_clipped(img: jax.Array, cap: int = 63) -> jax.Array:
+    """OpenCV SGBM prefilter: horizontal Sobel, clipped to [-cap, cap] and
+    shifted by +cap (so the neutral response is `cap`). Border columns get
+    the neutral value; border rows replicate."""
+    img = img.astype(jnp.float32)
+    up = jnp.concatenate([img[:1], img[:-1]], axis=0)
+    dn = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    left = jnp.pad(img[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(img[:, 1:], ((0, 0), (0, 1)))
+    lu = jnp.pad(up[:, :-1], ((0, 0), (1, 0)))
+    ru = jnp.pad(up[:, 1:], ((0, 0), (0, 1)))
+    ld = jnp.pad(dn[:, :-1], ((0, 0), (1, 0)))
+    rd = jnp.pad(dn[:, 1:], ((0, 0), (0, 1)))
+    sob = (right - left) * 2.0 + (ru - lu) + (rd - ld)
+    out = jnp.clip(sob, -cap, cap) + cap
+    w = img.shape[1]
+    xs = jnp.arange(w)[None, :]
+    border = (xs == 0) | (xs == w - 1)
+    return jnp.where(border, float(cap), out)
+
+
+def _bt_terms(row_img: jax.Array):
+    """Per-pixel (min, max) over {I, (I+I_left)/2, (I+I_right)/2} —
+    Birchfield-Tomasi half-pixel envelopes."""
+    left_half = 0.5 * (row_img + jnp.concatenate([row_img[:, :1], row_img[:, :-1]], axis=1))
+    right_half = 0.5 * (row_img + jnp.concatenate([row_img[:, 1:], row_img[:, -1:]], axis=1))
+    vmin = jnp.minimum(jnp.minimum(row_img, left_half), right_half)
+    vmax = jnp.maximum(jnp.maximum(row_img, left_half), right_half)
+    return vmin, vmax
+
+
+def bt_cost_volume(
+    left: jax.Array, right: jax.Array, min_disp: int, num_disp: int
+) -> jax.Array:
+    """Symmetric Birchfield-Tomasi pixel cost, left reference:
+    cost[y, x, d] = BT(left(x), right(x - d)). Out-of-range columns take the
+    cost at the clamped column (OpenCV evaluates them against the edge)."""
+    w = left.shape[1]
+    lmin, lmax = _bt_terms(left)
+    rmin, rmax = _bt_terms(right)
+
+    idx = jnp.arange(w)[:, None] - (min_disp + jnp.arange(num_disp))[None, :]
+    idx = jnp.clip(idx, 0, w - 1)
+    r = jnp.take(right, idx, axis=1)
+    r_min = jnp.take(rmin, idx, axis=1)
+    r_max = jnp.take(rmax, idx, axis=1)
+
+    l = left[:, :, None]
+    c0 = jnp.maximum(0.0, jnp.maximum(l - r_max, r_min - l))
+    c1 = jnp.maximum(
+        0.0, jnp.maximum(r - lmax[:, :, None], lmin[:, :, None] - r)
+    )
+    return jnp.minimum(c0, c1)
+
+
+def sgbm_cost_volume(
+    left_gray: jax.Array, right_gray: jax.Array, cfg: SGBMConfig
+) -> jax.Array:
+    """OpenCV-style SGBM matching cost: BT on the clipped x-Sobel image plus
+    BT on raw intensity right-shifted by 2 (OpenCV calcPixelCostBT's
+    diff_scale), block-summed over blockSize x blockSize."""
+    left_gray = left_gray.astype(jnp.float32)
+    right_gray = right_gray.astype(jnp.float32)
+    sl = xsobel_clipped(left_gray, cfg.prefilter_cap)
+    sr = xsobel_clipped(right_gray, cfg.prefilter_cap)
+    c = bt_cost_volume(sl, sr, cfg.min_disp, cfg.num_disp)
+    c = c + 0.25 * bt_cost_volume(left_gray, right_gray, cfg.min_disp, cfg.num_disp)
+
+    r = cfg.block_size // 2
+    if r > 0:
+        from .filters import box_filter_sum
+
+        # OpenCV's block sum clamps the window to the image (edge-replicated
+        # rows/cols at borders); use edge padding for the same effect.
+        pad = jnp.pad(c, ((r, r), (r, r), (0, 0)), mode="edge")
+        s = box_filter_sum(box_filter_sum(pad, r, 0), r, 1)
+        c = s[r:-r, r:-r]
+    return c
+
+
+def _dp_candidates(l_prev: jax.Array, m_prev: jax.Array, p1: float, p2: float):
+    """min(Lr_prev[d], Lr_prev[d-1]+P1, Lr_prev[d+1]+P1, minLr_prev+P2) - minLr_prev.
+
+    l_prev: (..., D); m_prev: (..., 1) = min over D of l_prev.
+    """
+    up = jnp.concatenate([jnp.full_like(l_prev[..., :1], _BIG), l_prev[..., :-1]], axis=-1)
+    dn = jnp.concatenate([l_prev[..., 1:], jnp.full_like(l_prev[..., :1], _BIG)], axis=-1)
+    cand = jnp.minimum(jnp.minimum(l_prev, up + p1), jnp.minimum(dn + p1, m_prev + p2))
+    return cand - m_prev
+
+
+def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
+    """Sum of path costs Lr over 8 (or 4: N,S,E,W) directions.
+
+    cost: (H, W, D) -> (H, W, D). Two row-wise scans carry the {S,SE,SW}
+    (resp. {N,NE,NW}) direction states; the diagonal predecessors are the
+    same recurrence with the carry shifted one column (border refill = 0,
+    which makes Lr = C there, OpenCV's border convention). Two column-wise
+    scans handle E and W.
+    """
+    h, w, d = cost.shape
+    diag = num_paths == 8
+    ndir = 3 if diag else 1
+
+    def row_scan(c_rows):
+        """c_rows: (H, W, D) scanned along axis 0; carry (ndir, W, D)."""
+
+        def shift_carry(l, k):
+            if k == 0:
+                return l
+            if k == 1:  # predecessor one column to the left
+                return jnp.concatenate([jnp.zeros_like(l[:1]), l[:-1]], axis=0)
+            return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
+
+        def step(carry, c_row):
+            outs = []
+            new = []
+            for k in range(ndir):
+                lp = shift_carry(carry[k], k)
+                mp = jnp.min(lp, axis=-1, keepdims=True)
+                l = c_row + _dp_candidates(lp, mp, p1, p2)
+                new.append(l)
+                outs.append(l)
+            return jnp.stack(new), sum(outs)
+
+        init = jnp.zeros((ndir, w, d), cost.dtype)
+        _, ys = jax.lax.scan(step, init, c_rows)
+        return ys  # (H, W, D) summed over directions
+
+    def col_scan(c_cols):
+        """c_cols: (W, H, D); carry (H, D)."""
+
+        def step(lp, c_col):
+            mp = jnp.min(lp, axis=-1, keepdims=True)
+            l = c_col + _dp_candidates(lp, mp, p1, p2)
+            return l, l
+
+        init = jnp.zeros((h, d), cost.dtype)
+        _, ys = jax.lax.scan(step, init, c_cols)
+        return ys  # (W, H, D)
+
+    s = row_scan(cost)
+    s = s + jnp.flip(row_scan(jnp.flip(cost, axis=0)), axis=0)
+    ct = jnp.swapaxes(cost, 0, 1)
+    s = s + jnp.swapaxes(col_scan(ct), 0, 1)
+    s = s + jnp.swapaxes(jnp.flip(col_scan(jnp.flip(ct, axis=0)), axis=0), 0, 1)
+    return s
+
+
+class SGBMOutput(NamedTuple):
+    disparity: jax.Array  # float32, invalid = min_disp - 1
+    valid: jax.Array  # bool
+    aggregated: jax.Array  # (H, W, D) summed path costs
+
+
+def sgbm_disparity(
+    left_gray: jax.Array,
+    right_gray: jax.Array,
+    cfg: SGBMConfig = SGBMConfig(),
+    keep_volume: bool = False,
+) -> SGBMOutput:
+    """Full SGBM disparity for the LEFT view, OpenCV parameter surface.
+
+    Pipeline: cost -> 8-path aggregation -> WTA -> uniqueness ratio ->
+    quadratic subpixel -> disp12 cross-check (right disparity derived from
+    the same aggregated volume by min-cost projection, as OpenCV does).
+    Speckle filtering is a separate op (ops/speckle.py) since it is a
+    connected-components pass, not a per-pixel one.
+    """
+    p1, p2 = cfg.resolved_p1p2()
+    c = sgbm_cost_volume(left_gray, right_gray, cfg)
+    s = aggregate_8path(c, float(p1), float(p2), cfg.num_paths)
+
+    h, w, nd = s.shape
+    best = jnp.argmin(s, axis=-1)
+    min_s = jnp.take_along_axis(s, best[..., None], axis=-1)[..., 0]
+
+    # uniqueness: any d with S[d]*100 <= minS*(100+ratio) and |d - best| > 1
+    # invalidates the pixel (OpenCV's loop breaks on the first such d).
+    if cfg.uniqueness_ratio > 0:
+        thresh = min_s * (100 + cfg.uniqueness_ratio) / 100.0
+        ds = jnp.arange(nd)
+        bad = (s <= thresh[..., None]) & (jnp.abs(ds[None, None, :] - best[..., None]) > 1)
+        unique_ok = ~jnp.any(bad, axis=-1)
+    else:
+        unique_ok = jnp.ones((h, w), bool)
+
+    # quadratic subpixel (OpenCV: denom clamped to >= 1)
+    pre = jnp.take_along_axis(s, jnp.maximum(best - 1, 0)[..., None], axis=-1)[..., 0]
+    nxt = jnp.take_along_axis(s, jnp.minimum(best + 1, nd - 1)[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(pre + nxt - 2.0 * min_s, 1.0)
+    offset = (pre - nxt) * 0.5 / denom
+    interior = (best > 0) & (best < nd - 1)
+    disp = best + cfg.min_disp + jnp.where(interior, offset, 0.0)
+
+    # disp12: right disparity by min-cost projection of the left volume
+    # (OpenCV computes disp2 from the same S), then cross-check.
+    if cfg.disp12_max_diff >= 0:
+        xs = jnp.arange(w)[None, :]
+        ds = cfg.min_disp + jnp.arange(nd)[None, None, :]
+        xr = xs[..., None] - ds  # right column hit by (x, d)
+        proj_cost = jnp.where((xr >= 0) & (xr < w), s, _BIG)
+        # for each right column, the min over all (x, d) that project to it:
+        # scatter-min via one-hot segment min over d-diagonals. Implement as
+        # min over d of shifted columns: right[:, xr] = min_d s[:, xr + d, d].
+        idx = jnp.arange(w)[:, None] + (cfg.min_disp + jnp.arange(nd))[None, :]
+        valid_idx = idx < w
+        gathered = jnp.take(
+            jnp.where(jnp.isfinite(proj_cost), proj_cost, _BIG),
+            jnp.clip(idx, 0, w - 1),
+            axis=1,
+        )  # (H, Wr, D): cost of left pixel xr+d at disparity d
+        gathered = jnp.where(valid_idx[None], gathered, _BIG)
+        disp2_idx = jnp.argmin(gathered, axis=-1)
+        disp2 = disp2_idx + cfg.min_disp
+        # left pixel x checks right pixel x - round(d)
+        dr = jnp.round(disp).astype(jnp.int32)
+        xr1 = jnp.clip(xs - dr, 0, w - 1)
+        d2_at = jnp.take_along_axis(disp2, xr1, axis=1)
+        lr_ok = (jnp.abs(disp - d2_at) <= cfg.disp12_max_diff + 1e-6) & (
+            xs - dr >= 0
+        )
+    else:
+        lr_ok = jnp.ones((h, w), bool)
+
+    valid = unique_ok & lr_ok
+    invalid_val = float(cfg.min_disp - 1)
+    out = jnp.where(valid, disp, invalid_val).astype(jnp.float32)
+    agg = s if keep_volume else jnp.zeros((0,), s.dtype)
+    return SGBMOutput(out, valid, agg)
