@@ -1,0 +1,73 @@
+"""Benchmark harness — prints ONE JSON line per driver contract.
+
+Headline metric (BASELINE.md north star): end-to-end frames/s at
+1280x960, 128 disparities, on the available chip. Round 1 benches the
+SGBM engine (the reference's namesake algorithm, numDisparities=128,
+MODE_HH 8-path) end to end: prefilter -> BT cost -> 8-path aggregation ->
+WTA/uniqueness/subpixel/disp12. vs_baseline is fps / 30 (the driver-set
+>=30 fps target, BASELINE.json).
+
+Extra per-stage timings go to stderr (the reference's stage prints,
+src/PatchMatchStereoGPU.cu:8963-9215, reimagined).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatch_tpu.config import SGBMConfig
+    from stereomatch_tpu.ops.sgbm import sgbm_disparity
+
+    h, w, d = 960, 1280, 128
+    rng = np.random.default_rng(0)
+    # realistic input: textured scene with a disparity step
+    tex = rng.random((h, w + d)).astype(np.float32)
+    for _ in range(2):
+        tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, 1, 0)) / 3
+    tex = tex * 255
+    left = jnp.asarray(tex[:, : w])
+    right = jnp.asarray(tex[:, 40 : 40 + w])
+
+    cfg = SGBMConfig(min_disp=0, num_disp=d, block_size=5)
+
+    @jax.jit
+    def step(l, r):
+        out = sgbm_disparity(l, r, cfg)
+        return out.disparity
+
+    print("compiling...", file=sys.stderr)
+    t0 = time.time()
+    step(left, right).block_until_ready()
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warmup
+    step(left, right).block_until_ready()
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        step(left, right).block_until_ready()
+    dt = (time.time() - t0) / iters
+    fps = 1.0 / dt
+    print(f"sgbm 1280x960x128: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sgbm_fps_1280x960x128",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

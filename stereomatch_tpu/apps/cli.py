@@ -1,0 +1,169 @@
+"""Legacy-style stereo CLI (the reference's full command-line tool,
+src/stereo_opencv (copy).cpp:47-349: --algorithm / --blocksize /
+--max-disparity / --scale / -i / -e / -o / -p), extended with this
+framework's additional engines.
+
+Algorithms:
+  bm        block matching: windowed truncated-AD on the x-Sobel prefiltered
+            pair + WTA (the OpenCV StereoBM wrapper's role,
+            src/StereoMatching.cpp BMStereo)
+  sgbm|hh|sgbm3way
+            semi-global matching; hh = full 8-path (MODE_HH, the reference's
+            production setting), sgbm/sgbm3way map to 4-path
+  census    ternary census + WTA (src/StereoMatching.cpp:27-114)
+  costvolume
+            AD+gradient volume + guided filter + WTA + Huber denoise
+            (costVolumeStereoPlusVariationalDenoise)
+  mst       Stereo3DMST segment-tree pipeline (src/Stereo3DMST.cpp)
+
+Outputs: -o disparity PNG, -p point cloud (.ply/.pcd/.xyz), requires -i
+(intrinsics+extrinsics FileStorage) for rectification/reprojection unless
+--no-rectify.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("left")
+    ap.add_argument("right")
+    ap.add_argument("--algorithm", default="hh",
+                    choices=["bm", "sgbm", "hh", "sgbm3way", "census", "costvolume", "mst"])
+    ap.add_argument("--blocksize", type=int, default=5)
+    ap.add_argument("--max-disparity", type=int, default=128)
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("-i", "--calib", default=None,
+                    help="FileStorage with M1,D1,M2,D2,R,T (XML/YAML)")
+    ap.add_argument("-o", "--disparity-out", default=None)
+    ap.add_argument("-p", "--cloud-out", default=None)
+    ap.add_argument("--no-rectify", action="store_true")
+    a = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..io import load_image, save_disparity_png
+    from ..utils import StageTimer
+
+    timer = StageTimer(verbose=True)
+    left = load_image(a.left)
+    right = load_image(a.right)
+    if a.scale != 1.0:
+        step = int(round(1.0 / a.scale))
+        left, right = left[::step, ::step], right[::step, ::step]
+    h, w = left.shape[:2]
+
+    geom = None
+    if a.calib and not a.no_rectify:
+        from ..geometry import rectified_geometry, remap_bilinear
+        from ..io import load_stereo_calibration
+
+        cal = load_stereo_calibration(a.calib)
+        if a.scale != 1.0:
+            cal = cal.rescaled(a.scale)
+        geom = rectified_geometry(cal, (w, h))
+        with timer.stage("rectify"):
+            left = np.asarray(
+                remap_bilinear(jnp.asarray(left.astype(np.float32)),
+                               jnp.asarray(geom.map1x), jnp.asarray(geom.map1y))
+            )
+            right = np.asarray(
+                remap_bilinear(jnp.asarray(right.astype(np.float32)),
+                               jnp.asarray(geom.map2x), jnp.asarray(geom.map2y))
+            )
+
+    def gray(img):
+        img = np.asarray(img, np.float32)
+        return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                if img.ndim == 3 else img)
+
+    nd = a.max_disparity
+    if a.algorithm in ("sgbm", "hh", "sgbm3way"):
+        from ..config import SGBMConfig
+        from ..ops.sgbm import sgbm_disparity
+
+        cfg = SGBMConfig(
+            min_disp=0,
+            num_disp=nd,
+            block_size=a.blocksize,
+            num_paths=8 if a.algorithm == "hh" else 4,
+        )
+        with timer.stage("sgbm"):
+            disp = np.asarray(
+                sgbm_disparity(jnp.asarray(gray(left)), jnp.asarray(gray(right)), cfg).disparity
+            )
+    elif a.algorithm == "bm":
+        from ..config import ZNCCConfig
+        from ..ops.cost import windowed_volumes
+        from ..ops.sgbm import xsobel_clipped
+        from ..ops.select import wta_disparity
+
+        cfg = ZNCCConfig(min_disp=0, max_disp=nd - 1,
+                         win_radius=a.blocksize // 2, metric="ad")
+        with timer.stage("bm"):
+            sl = xsobel_clipped(jnp.asarray(gray(left)))
+            sr = xsobel_clipped(jnp.asarray(gray(right)))
+            lvol, _ = windowed_volumes(sl, sr, cfg)
+            disp = np.asarray(wta_disparity(lvol, 0))
+    elif a.algorithm == "census":
+        from ..config import CensusConfig
+        from ..pipelines import census_pipeline
+
+        disp = census_pipeline(left, right, CensusConfig(d_max=nd - 1)).astype(np.float32)
+    elif a.algorithm == "costvolume":
+        from ..config import CostVolumeConfig, CostVolumePipelineConfig
+        from ..pipelines import costvolume_pipeline
+
+        cfg = CostVolumePipelineConfig(
+            volume=CostVolumeConfig(min_disp=0, max_disp=nd - 1)
+        )
+        with timer.stage("costvolume"):
+            disp, _ = costvolume_pipeline(left, right, cfg, lr_check=True)
+    else:  # mst
+        from ..config import MSTConfig
+        from ..models.mst import mst_stereo
+        from .stereo_yin import builtin_cost_volumes
+
+        bgr_l = jnp.asarray(np.asarray(left, np.float32)[..., ::-1])
+        bgr_r = jnp.asarray(np.asarray(right, np.float32)[..., ::-1])
+        with timer.stage("mst"):
+            lvol, rvol = builtin_cost_volumes(
+                jnp.asarray(np.asarray(left, np.float32)),
+                jnp.asarray(np.asarray(right, np.float32)),
+                nd,
+            )
+            out = mst_stereo(np.asarray(bgr_l), np.asarray(bgr_r), lvol, rvol,
+                             MSTConfig(max_disp=nd))
+        disp = np.asarray(out.left_disp)
+
+    print(timer.report())
+    if a.disparity_out:
+        save_disparity_png(a.disparity_out, disp, max_disp=nd)
+        print(f"wrote {a.disparity_out}")
+    if a.cloud_out:
+        if geom is None:
+            print("point cloud needs -i calibration", file=sys.stderr)
+            return 1
+        from ..geometry import reproject_image_to_3d
+        from ..io import filter_cloud, save_pcd, save_ply, save_xyz
+
+        xyz = np.asarray(reproject_image_to_3d(jnp.asarray(disp), geom.Q))
+        pts, cols = filter_cloud(xyz, np.asarray(left))
+        if a.cloud_out.endswith(".ply"):
+            save_ply(a.cloud_out, pts, cols)
+        elif a.cloud_out.endswith(".pcd"):
+            save_pcd(a.cloud_out, pts, cols)
+        else:
+            save_xyz(a.cloud_out, pts)
+        print(f"wrote {a.cloud_out} ({len(pts)} pts)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

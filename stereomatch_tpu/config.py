@@ -168,11 +168,15 @@ class MSTConfig:
     max_disp: int = 100
     iterations: int = 100
     median_prefilter: int = 3
-    # Split trees whose root-distance dynamic range exceeds this bound so the
-    # exp-factorized aggregation stays in fp32 range; contributions beyond
-    # exp(-40) ~ 4e-18 are numerically zero in the reference's own
-    # accumulation, so this is a lossless-in-practice approximation.
-    max_log_range: float = 40.0
+    # Trees are split into segments whose gamma-weighted depth range is at
+    # most this bound, so the exp-factorized Euler-tour aggregation stays
+    # well-conditioned in fp32 (worst-case cancellation ~ eps * e^{2*range}).
+    # Cross-segment aggregation is restored by `carry_iters` rounds of carry
+    # injection (paths crossing more than carry_iters cuts keep weight
+    # <= e^{-carry_iters * range} ~ 2e-9 at the defaults — numerically zero
+    # in the reference's own accumulation).
+    max_log_range: float = 4.0
+    carry_iters: int = 5
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,24 @@ class StereoCalibration:
         extras = {k: v for k, v in d.items() if k not in kw}
         return cls(**kw, extras=extras)
 
+    def rescaled(self, scale: float) -> "StereoCalibration":
+        """Calibration for images resized by `scale`: intrinsics scale
+        (fx, fy, cx, cy), distortion/extrinsics unchanged. Stored
+        R1/R2/P1/P2/Q are dropped (recompute via rectified_geometry)."""
+        import dataclasses
+
+        s = np.diag([scale, scale, 1.0])
+        return dataclasses.replace(
+            self,
+            M1=s @ self.M1,
+            M2=s @ self.M2,
+            R1=None,
+            R2=None,
+            P1=None,
+            P2=None,
+            Q=None,
+        )
+
     def scaled_q(self, scale: float) -> np.ndarray:
         """Scale the Q matrix for resized images: multiply rows 0..2 of the
         last column by `scale` (ref: StereoMatching::scaleStereoPairQMatrix,

@@ -15,3 +15,5 @@ disparity maps, mirroring one of the reference's five stereo engines:
 """
 
 from .costvolume import cost_volume_stereo, CostVolumeOutput  # noqa: F401
+from .mst import mst_stereo, MSTOutput, build_view_forest  # noqa: F401
+from .patchmatch import patchmatch_pipeline, PatchMatchOutput  # noqa: F401

@@ -1,0 +1,408 @@
+"""3DMST tree-filter cost aggregation + plane-label optimization on TPU.
+
+TPU-native re-design of the reference's Stereo3DMST hot loop
+(src/Stereo3DMST.cpp:103-186, :546-629; SURVEY.md §3.2). The reference does,
+per tree and per candidate label, two sequential O(N) tree passes
+(leaf->root `agg[par] += w*agg[child]`, then root->leaf
+`agg[child] = w*agg[par] + (1-w^2)*agg[child]`), parallelized over trees
+with OpenMP. Here the SAME aggregation for ALL trees and a whole BATCH of
+candidate labels runs as a handful of prefix sums:
+
+Because every tree-edge weight is exp(-gamma * color_diff), the weight
+product along any tree path telescopes to exp(-gamma * pathlength). The
+leaf->root pass U(p) = c(p) + sum_ch w_ch U(ch) therefore equals
+    U(p) = e^{+g(p)} * sum_{q in subtree(p)} e^{-g(q)} c(q),
+a SUBTREE sum, and subtrees are contiguous ranges of the Euler tour —
+one cumsum. The root->leaf pass
+    D(p) = w_p D(parent) + (1 - w_p^2) U(p)
+expands to an ANCESTOR sum, which is the classic Euler +enter/-exit prefix
+trick — a second cumsum. g(p) is gamma * weighted depth.
+
+fp32 range: the host builder (native/treebuild.cpp) splits trees into
+segments whose depth range is <= delta (default 40), so every exponential
+stays within e^{±40}. Aggregation across a split is restored exactly (to
+e^{-delta}, i.e. ~4e-18 — below fp32 resolution of any term) by ONE carry
+injection per direction: any path crossing two splits has weight
+<= e^{-delta} by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MSTConfig
+
+__all__ = [
+    "ForestArrays",
+    "forest_arrays",
+    "tree_filter",
+    "label_cost",
+    "labels_to_disparity",
+    "mst_pms_optimize",
+]
+
+
+class ForestArrays(NamedTuple):
+    """Device-side flat forest (see native.Forest for field semantics)."""
+
+    pixel_of_node: jax.Array  # (N,) int32
+    parent_node: jax.Array  # (N,) int32
+    w_exp: jax.Array  # (N,) f32
+    rel_gd: jax.Array  # (N,) f32
+    in_pos: jax.Array  # (N,) int32
+    out_pos: jax.Array  # (N,) int32
+    tree_id: jax.Array  # (N,) int32
+    seg_root: jax.Array  # (N,) bool
+    euler_reset: jax.Array  # (2N,) bool, True at each segment's first event
+    tree_start: jax.Array  # (T+1,) int32 (padded to Tmax+1)
+    adj_start: jax.Array  # (T+1,) int32
+    adj_list: jax.Array  # (M,) int32
+    num_trees: int  # static
+    height: int
+    width: int
+
+
+def forest_arrays(forest) -> ForestArrays:
+    """Upload a native.Forest to device arrays."""
+    n = forest.height * forest.width
+    seg_root = forest.seg_root_mask()
+    euler_reset = np.zeros(2 * n, bool)
+    euler_reset[forest.in_pos[seg_root]] = True
+    # keep adj_list non-empty so gathers are well-formed when the forest is
+    # a single tree with no neighbors
+    adj_list = forest.adj_list
+    if adj_list.size == 0:
+        adj_list = np.zeros(1, np.int32)
+    return ForestArrays(
+        pixel_of_node=jnp.asarray(forest.pixel_of_node),
+        parent_node=jnp.asarray(forest.parent_node),
+        w_exp=jnp.asarray(forest.w_exp),
+        rel_gd=jnp.asarray(forest.rel_gd),
+        in_pos=jnp.asarray(forest.in_pos),
+        out_pos=jnp.asarray(forest.out_pos),
+        tree_id=jnp.asarray(forest.tree_id),
+        seg_root=jnp.asarray(seg_root),
+        euler_reset=jnp.asarray(euler_reset),
+        tree_start=jnp.asarray(forest.tree_start),
+        adj_start=jnp.asarray(forest.adj_start),
+        adj_list=jnp.asarray(adj_list),
+        num_trees=forest.num_trees,
+        height=forest.height,
+        width=forest.width,
+    )
+
+
+def _segmented_cumsum(x: jax.Array, reset: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the last axis that restarts wherever
+    `reset` is True. Keeps partial sums SEGMENT-LOCAL in magnitude — a
+    global cumsum over millions of Euler events would accumulate a huge
+    prefix and the later difference of two near-equal prefixes would wipe
+    out small subtree sums (fp32 catastrophic cancellation)."""
+    reset = jnp.broadcast_to(reset, x.shape)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    v, _ = jax.lax.associative_scan(comb, (x, reset), axis=-1)
+    return v
+
+
+def _subtree_sums(t: jax.Array, f: ForestArrays) -> jax.Array:
+    """sum over subtree(p) (within segment) of t(q), via Euler prefix.
+
+    t: (..., N) values in node order. Returns (..., N)."""
+    n = t.shape[-1]
+    shape = t.shape[:-1] + (2 * n,)
+    a = jnp.zeros(shape, t.dtype).at[..., f.in_pos].set(t)
+    p = _segmented_cumsum(a, f.euler_reset)
+    # exclusive-at-in, inclusive-at-(out-1): [in(p), out(p)) covers the
+    # subtree including p itself. P_inc[out-1] - P_inc[in] + t[in].
+    p_in = jnp.take_along_axis(p, jnp.broadcast_to(f.in_pos, shape[:-1] + (n,)), -1)
+    p_out = jnp.take_along_axis(
+        p, jnp.broadcast_to(f.out_pos - 1, shape[:-1] + (n,)), -1
+    )
+    return p_out - p_in + t
+
+
+def _ancestor_sums(v: jax.Array, f: ForestArrays) -> jax.Array:
+    """sum over ancestors-or-self (within segment) of v(a), via Euler
+    +enter/-exit prefix. v: (..., N) -> (..., N)."""
+    n = v.shape[-1]
+    shape = v.shape[:-1] + (2 * n,)
+    b = (
+        jnp.zeros(shape, v.dtype)
+        .at[..., f.in_pos].add(v)
+        .at[..., f.out_pos].add(-v)
+    )
+    q = _segmented_cumsum(b, f.euler_reset)
+    return jnp.take_along_axis(q, jnp.broadcast_to(f.in_pos, shape[:-1] + (n,)), -1)
+
+
+def tree_filter(
+    c_node: jax.Array, f: ForestArrays, carry_iters: int = 5
+) -> jax.Array:
+    """Yang-style tree-filter aggregation D for all trees at once.
+
+    c_node: (..., N) per-node costs (node order). Returns (..., N) with the
+    same result as the reference's two-pass recurrence
+    (Stereo3DMST.cpp:120-158).
+
+    Numerics: exp-factorized prefix sums cancel catastrophically when the
+    depth range inside one prefix is large (the difference of two huge
+    near-equal prefixes must resolve an e^{-range} subtree sum), so the
+    builder splits segments at a SMALL range delta (MSTConfig.max_log_range,
+    default 4) and this filter iterates `carry_iters` rounds of cross-cut
+    carry injection: round k restores all paths crossing <= k cuts exactly,
+    and anything crossing more carries weight <= e^{-k*delta} (~1e-9 at
+    k=5, delta=4). Worst-case fp32 cancellation error is ~eps * e^{2 delta}
+    (~3e-4 at delta=4).
+    """
+    e_neg = jnp.exp(-f.rel_gd)
+    e_pos = jnp.exp(f.rel_gd)
+    is_tree_root = f.parent_node == jnp.arange(f.parent_node.shape[0])
+    seg_carry = f.seg_root & ~is_tree_root
+    w2c = 1.0 - f.w_exp * f.w_exp
+
+    # ---- up-sweep with iterated cross-cut carries ----
+    t0 = e_neg * c_node
+
+    def up_step(_, u):
+        carry = jnp.where(seg_carry, f.w_exp * u, 0.0)
+        inj = jnp.zeros_like(c_node).at[..., f.parent_node].add(carry)
+        return e_pos * _subtree_sums(t0 + e_neg * inj, f)
+
+    u = e_pos * _subtree_sums(t0, f)
+    u = jax.lax.fori_loop(0, carry_iters, up_step, u)
+
+    # ---- down-sweep: D(p) = w_p D(par) + (1 - w_p^2) U(p) ----
+    def down(seed_root):
+        v = jnp.where(f.seg_root, seed_root, e_pos * w2c * u)
+        return e_neg * _ancestor_sums(v, f)
+
+    def down_step(_, d):
+        d_par = jnp.take_along_axis(
+            d, jnp.broadcast_to(f.parent_node, d.shape), axis=-1
+        )
+        seed = jnp.where(is_tree_root, u, f.w_exp * d_par + w2c * u)
+        return down(seed)
+
+    # first pass: every segment root acts as a tree root (D = U)
+    d = down(u)
+    return jax.lax.fori_loop(0, carry_iters, down_step, d)
+
+
+def label_cost(
+    cost_vol: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    c: jax.Array,
+    f: ForestArrays,
+    max_disp: int,
+) -> jax.Array:
+    """Per-node data cost of plane labels (a, b, c) given per-NODE params.
+
+    d = x*a + y*b + c, linearly interpolated in the (H, W, D) cost volume;
+    out-of-range planes cost 0.5 (ref: compute3DLabelCost,
+    src/Stereo3DMST.cpp:103-117). a/b/c: (..., N) node-order arrays.
+    """
+    pix = f.pixel_of_node
+    x = (pix % f.width).astype(jnp.float32)
+    y = (pix // f.width).astype(jnp.float32)
+    d = x * a + y * b + c
+    d_floor = jnp.floor(d)
+    lo = d_floor.astype(jnp.int32)
+    hi = lo + 1
+    in_range = (lo >= 0) & (hi < max_disp)
+    lo_c = jnp.clip(lo, 0, max_disp - 1)
+    hi_c = jnp.clip(hi, 0, max_disp - 1)
+    vol_nodes = cost_vol.reshape(-1, cost_vol.shape[-1])[pix]  # (N, D)
+    c_lo = jnp.take_along_axis(vol_nodes, lo_c[..., None], axis=-1)[..., 0]
+    c_hi = jnp.take_along_axis(vol_nodes, hi_c[..., None], axis=-1)[..., 0]
+    frac = d - d_floor
+    return jnp.where(in_range, (1.0 - frac) * c_lo + frac * c_hi, 0.5)
+
+
+def labels_to_disparity(
+    a: jax.Array, b: jax.Array, c: jax.Array, f: ForestArrays, max_disp: int
+) -> jax.Array:
+    """Per-pixel disparity image from node-order plane labels, normalized to
+    [0, 1] like the reference (LabelToDisp, src/Stereo3DMST.cpp:189-201):
+    clamp01((x*a + y*b + c) / (max_disp - 1))."""
+    pix = f.pixel_of_node
+    x = (pix % f.width).astype(jnp.float32)
+    y = (pix // f.width).astype(jnp.float32)
+    d = jnp.clip((x * a + y * b + c) / (max_disp - 1.0), 0.0, 1.0)
+    img = jnp.zeros((f.height * f.width,), jnp.float32).at[pix].set(d)
+    return img.reshape(f.height, f.width)
+
+
+def _sample_plane(key, px, py, d_max):
+    """Random plane through (px, py) with hemisphere-sampled normal
+    (ref init: src/Stereo3DMST.cpp:396-430). Shapes follow px."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = jax.random.uniform(k1, px.shape) * d_max
+    # rejection-free remap of the reference's disc rejection sampling:
+    # sample (x1, x2) uniformly in the unit disc via polar coordinates.
+    r = jnp.sqrt(jax.random.uniform(k2, px.shape))
+    th = jax.random.uniform(k3, px.shape) * (2.0 * jnp.pi)
+    x1, x2 = r * jnp.cos(th), r * jnp.sin(th)
+    s = jnp.sqrt(jnp.maximum(1.0 - x1 * x1 - x2 * x2, 0.0))
+    nx, ny = 2.0 * x1 * s, 2.0 * x2 * s
+    nz = jnp.sqrt(jnp.maximum(1.0 - nx * nx - ny * ny, 1e-8))
+    a = -nx / nz
+    b = -ny / nz
+    c = (nx * px + ny * py + nz * d) / nz
+    return a, b, c
+
+
+def init_labels(key, f: ForestArrays, max_disp: int):
+    """Random per-node plane labels (node order)."""
+    n = f.pixel_of_node.shape[0]
+    px = (f.pixel_of_node % f.width).astype(jnp.float32)
+    py = (f.pixel_of_node // f.width).astype(jnp.float32)
+    return _sample_plane(key, px, py, float(max_disp))
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_neighbors", "iterations"))
+def mst_pms_optimize(
+    key: jax.Array,
+    cost_vol: jax.Array,
+    f: ForestArrays,
+    cfg: MSTConfig = MSTConfig(),
+    max_neighbors: int = 8,
+    iterations: int | None = None,
+):
+    """The MST_PMS loop (ref: src/Stereo3DMST.cpp:546-629, 100 iterations at
+    :858-889) for ALL trees in parallel.
+
+    Per iteration, per tree: sample one label from a random pixel of each of
+    up to `max_neighbors` neighboring trees (spatial propagation across
+    trees) plus the annealed random-plane refinements (max_d halving from
+    Dmax/2 to 0.1), evaluate each candidate with one batched tree_filter
+    pass, and keep the per-pixel argmin (the reference updates min cost per
+    PIXEL, :173-185). Returns (a, b, c, min_cost) in node order.
+
+    Deviations from the reference (documented): candidates are drawn from
+    the iteration-start label map (the reference reads neighbor labels
+    mid-update, racily, :556-574), and each tree samples at most
+    `max_neighbors` of its neighbor trees per iteration instead of all.
+    """
+    n = f.pixel_of_node.shape[0]
+    iters = cfg.iterations if iterations is None else iterations
+    max_disp = cfg.max_disp
+    tmax = f.tree_start.shape[0] - 1  # padded tree capacity
+
+    # annealed refinement deltas: max_d = Dmax/2, /2, ... > 0.1
+    deltas = []
+    md, mn = 0.5 * max_disp, 1.0
+    while md > 0.1:
+        deltas.append((md, mn))
+        md, mn = md * 0.5, mn * 0.5
+    n_refine = len(deltas)
+    deltas_d = jnp.asarray([d for d, _ in deltas], jnp.float32)
+    deltas_n = jnp.asarray([m for _, m in deltas], jnp.float32)
+
+    key, k0 = jax.random.split(key)
+    a0, b0, c0 = init_labels(k0, f, max_disp)
+    min0 = jnp.full((n,), jnp.inf, jnp.float32)
+
+    tsize = (f.tree_start[1:] - f.tree_start[:-1]).astype(jnp.float32)
+    nb_count = (f.adj_start[1:] - f.adj_start[:-1]).astype(jnp.float32)
+
+    def one_candidate(labels, cand_a, cand_b, cand_c, state):
+        """Evaluate per-tree candidate labels; update per-pixel best."""
+        a, b, c, mc = state
+        # broadcast per-tree candidate to nodes
+        na = cand_a[f.tree_id]
+        nb = cand_b[f.tree_id]
+        nc = cand_c[f.tree_id]
+        cn = label_cost(labels, na, nb, nc, f, max_disp)
+        agg = tree_filter(cn, f, cfg.carry_iters)
+        better = agg < mc
+        return (
+            jnp.where(better, na, a),
+            jnp.where(better, nb, b),
+            jnp.where(better, nc, c),
+            jnp.where(better, agg, mc),
+        )
+
+    def iteration(carry, key_i):
+        a, b, c, mc = carry
+        ka, kb, kc = jax.random.split(key_i, 3)
+
+        # ---- neighbor-tree label candidates ----
+        def nb_candidate(j, state):
+            kj = jax.random.fold_in(ka, j)
+            k1, k2 = jax.random.split(kj)
+            # pick a random neighbor tree of each tree
+            u = jax.random.uniform(k1, (tmax,))
+            nb_idx = f.adj_start[:-1] + jnp.minimum(
+                (u * jnp.maximum(nb_count, 1.0)).astype(jnp.int32),
+                jnp.maximum(nb_count - 1.0, 0.0).astype(jnp.int32),
+            )
+            nb_tree = jnp.where(
+                nb_count > 0, f.adj_list[jnp.clip(nb_idx, 0, f.adj_list.shape[0] - 1)],
+                jnp.arange(tmax),
+            )
+            # random pixel (node) of the neighbor tree
+            v = jax.random.uniform(k2, (tmax,))
+            nts = f.tree_start[nb_tree]
+            ntc = (f.tree_start[nb_tree + 1] - nts).astype(jnp.float32)
+            node = nts + jnp.minimum(
+                (v * ntc).astype(jnp.int32),
+                jnp.maximum(ntc - 1.0, 0.0).astype(jnp.int32),
+            )
+            return one_candidate(cost_vol, a[node], b[node], c[node], state)
+
+        state = (a, b, c, mc)
+        state = jax.lax.fori_loop(0, max_neighbors, nb_candidate, state)
+
+        # ---- annealed random refinement around a random node's label ----
+        u = jax.random.uniform(kb, (tmax,))
+        base_node = f.tree_start[:-1] + jnp.minimum(
+            (u * jnp.maximum(tsize, 1.0)).astype(jnp.int32),
+            jnp.maximum(tsize - 1.0, 0.0).astype(jnp.int32),
+        )
+        pa, pb, pc = a[base_node], b[base_node], c[base_node]
+        px = (f.pixel_of_node[base_node] % f.width).astype(jnp.float32)
+        py = (f.pixel_of_node[base_node] // f.width).astype(jnp.float32)
+        nz = 1.0 / jnp.sqrt(pa * pa + pb * pb + 1.0)
+        nx = -pa * nz
+        ny = -pb * nz
+        d0 = px * pa + py * pb + pc
+
+        def refine(j, state):
+            kj = jax.random.fold_in(kc, j)
+            r = jax.random.uniform(kj, (4, tmax), minval=-1.0, maxval=1.0)
+            rd = d0 + r[0] * deltas_d[j]
+            rnx = nx + r[1] * deltas_n[j]
+            rny = ny + r[2] * deltas_n[j]
+            rnz = nz + r[3] * deltas_n[j]
+            inv = 1.0 / jnp.sqrt(rnx * rnx + rny * rny + rnz * rnz)
+            rnx, rny = rnx * inv, rny * inv
+            rnz = jnp.abs(rnz * inv)
+            rnz = jnp.maximum(rnz, 1e-8)
+            ca = -rnx / rnz
+            cb = -rny / rnz
+            cc = (rnx * px + rny * py + rnz * rd) / rnz
+            ok = (rd >= 0.0) & (rd <= max_disp)
+            # out-of-range draws keep the current label (no-op candidate)
+            a_, b_, c_, mc_ = state
+            ca = jnp.where(ok, ca, a_[base_node])
+            cb = jnp.where(ok, cb, b_[base_node])
+            cc = jnp.where(ok, cc, c_[base_node])
+            return one_candidate(cost_vol, ca, cb, cc, state)
+
+        state = jax.lax.fori_loop(0, n_refine, refine, state)
+        return state, None
+
+    keys = jax.random.split(key, iters)
+    (a, b, c, mc), _ = jax.lax.scan(iteration, (a0, b0, c0, min0), keys)
+    return a, b, c, mc

@@ -70,9 +70,15 @@ def xsobel_clipped(img: jax.Array, cap: int = 63) -> jax.Array:
 
 def _bt_terms(row_img: jax.Array):
     """Per-pixel (min, max) over {I, (I+I_left)/2, (I+I_right)/2} —
-    Birchfield-Tomasi half-pixel envelopes."""
-    left_half = 0.5 * (row_img + jnp.concatenate([row_img[:, :1], row_img[:, :-1]], axis=1))
-    right_half = 0.5 * (row_img + jnp.concatenate([row_img[:, 1:], row_img[:, -1:]], axis=1))
+    Birchfield-Tomasi half-pixel envelopes. The half sums are FLOORED like
+    OpenCV's integer (a+b)/2, so costs stay integer-valued and uniqueness
+    tie behavior matches the reference's int16 arithmetic."""
+    left_half = jnp.floor(
+        0.5 * (row_img + jnp.concatenate([row_img[:, :1], row_img[:, :-1]], axis=1))
+    )
+    right_half = jnp.floor(
+        0.5 * (row_img + jnp.concatenate([row_img[:, 1:], row_img[:, -1:]], axis=1))
+    )
     vmin = jnp.minimum(jnp.minimum(row_img, left_half), right_half)
     vmax = jnp.maximum(jnp.maximum(row_img, left_half), right_half)
     return vmin, vmax
@@ -113,7 +119,10 @@ def sgbm_cost_volume(
     sl = xsobel_clipped(left_gray, cfg.prefilter_cap)
     sr = xsobel_clipped(right_gray, cfg.prefilter_cap)
     c = bt_cost_volume(sl, sr, cfg.min_disp, cfg.num_disp)
-    c = c + 0.25 * bt_cost_volume(left_gray, right_gray, cfg.min_disp, cfg.num_disp)
+    # intensity term: integer >>2 (truncation) per pixel, like OpenCV
+    c = c + jnp.floor(
+        bt_cost_volume(left_gray, right_gray, cfg.min_disp, cfg.num_disp) * 0.25
+    )
 
     r = cfg.block_size // 2
     if r > 0:
@@ -138,6 +147,14 @@ def _dp_candidates(l_prev: jax.Array, m_prev: jax.Array, p1: float, p2: float):
     return cand - m_prev
 
 
+def _scan_block(n: int, want: int = 16) -> int:
+    """Largest block size <= want dividing n (scan steps shrink by this)."""
+    for k in range(min(want, n), 0, -1):
+        if n % k == 0:
+            return k
+    return 1
+
+
 def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
     """Sum of path costs Lr over 8 (or 4: N,S,E,W) directions.
 
@@ -145,48 +162,60 @@ def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -
     (resp. {N,NE,NW}) direction states; the diagonal predecessors are the
     same recurrence with the carry shifted one column (border refill = 0,
     which makes Lr = C there, OpenCV's border convention). Two column-wise
-    scans handle E and W.
+    scans handle E and W. Scans are BLOCKED: each lax.scan step consumes a
+    block of rows/cols with the sequential recurrence unrolled inside, so
+    per-step overhead amortizes over the block while the carry stays
+    on-chip (identical math, ~K x fewer scan steps).
     """
     h, w, d = cost.shape
     diag = num_paths == 8
     ndir = 3 if diag else 1
 
+    def shift_carry(l, k):
+        if k == 0:
+            return l
+        if k == 1:  # predecessor one column to the left
+            return jnp.concatenate([jnp.zeros_like(l[:1]), l[:-1]], axis=0)
+        return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
+
     def row_scan(c_rows):
         """c_rows: (H, W, D) scanned along axis 0; carry (ndir, W, D)."""
+        kb = _scan_block(h)
 
-        def shift_carry(l, k):
-            if k == 0:
-                return l
-            if k == 1:  # predecessor one column to the left
-                return jnp.concatenate([jnp.zeros_like(l[:1]), l[:-1]], axis=0)
-            return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
-
-        def step(carry, c_row):
+        def step(carry, c_block):  # c_block (kb, W, D)
             outs = []
-            new = []
-            for k in range(ndir):
-                lp = shift_carry(carry[k], k)
-                mp = jnp.min(lp, axis=-1, keepdims=True)
-                l = c_row + _dp_candidates(lp, mp, p1, p2)
-                new.append(l)
-                outs.append(l)
-            return jnp.stack(new), sum(outs)
+            for j in range(kb):
+                new = []
+                total = None
+                for k in range(ndir):
+                    lp = shift_carry(carry[k], k)
+                    mp = jnp.min(lp, axis=-1, keepdims=True)
+                    l = c_block[j] + _dp_candidates(lp, mp, p1, p2)
+                    new.append(l)
+                    total = l if total is None else total + l
+                carry = jnp.stack(new)
+                outs.append(total)
+            return carry, jnp.stack(outs)
 
         init = jnp.zeros((ndir, w, d), cost.dtype)
-        _, ys = jax.lax.scan(step, init, c_rows)
-        return ys  # (H, W, D) summed over directions
+        _, ys = jax.lax.scan(step, init, c_rows.reshape(h // kb, kb, w, d))
+        return ys.reshape(h, w, d)  # summed over directions
 
     def col_scan(c_cols):
         """c_cols: (W, H, D); carry (H, D)."""
+        kb = _scan_block(w)
 
-        def step(lp, c_col):
-            mp = jnp.min(lp, axis=-1, keepdims=True)
-            l = c_col + _dp_candidates(lp, mp, p1, p2)
-            return l, l
+        def step(lp, c_block):  # (kb, H, D)
+            outs = []
+            for j in range(kb):
+                mp = jnp.min(lp, axis=-1, keepdims=True)
+                lp = c_block[j] + _dp_candidates(lp, mp, p1, p2)
+                outs.append(lp)
+            return lp, jnp.stack(outs)
 
         init = jnp.zeros((h, d), cost.dtype)
-        _, ys = jax.lax.scan(step, init, c_cols)
-        return ys  # (W, H, D)
+        _, ys = jax.lax.scan(step, init, c_cols.reshape(w // kb, kb, h, d))
+        return ys.reshape(w, h, d)
 
     s = row_scan(cost)
     s = s + jnp.flip(row_scan(jnp.flip(cost, axis=0)), axis=0)
@@ -218,62 +247,75 @@ def sgbm_disparity(
     """
     p1, p2 = cfg.resolved_p1p2()
     c = sgbm_cost_volume(left_gray, right_gray, cfg)
-    s = aggregate_8path(c, float(p1), float(p2), cfg.num_paths)
+    h, w_full, nd = c.shape
+    # OpenCV never evaluates the leftmost maxD = minD + numD columns: its
+    # per-row x range starts there, so path scans must not carry state in
+    # from that margin. Slice it off before aggregation, pad back after.
+    margin = min(cfg.min_disp + nd, w_full)
+    s = aggregate_8path(c[:, margin:], float(p1), float(p2), cfg.num_paths)
+    w = w_full - margin
 
-    h, w, nd = s.shape
+    # WTA + neighbor costs + uniqueness in mask-reduction form: lane-dim
+    # take_along_axis gathers are slow on TPU, while several reductions
+    # over the same volume fuse into a couple of memory passes.
+    ds = jnp.arange(nd)[None, None, :]
     best = jnp.argmin(s, axis=-1)
-    min_s = jnp.take_along_axis(s, best[..., None], axis=-1)[..., 0]
+    min_s = jnp.min(s, axis=-1)
+    b3 = best[..., None]
+    pre = jnp.min(jnp.where(ds == b3 - 1, s, _BIG), axis=-1)
+    nxt = jnp.min(jnp.where(ds == b3 + 1, s, _BIG), axis=-1)
+    pre = jnp.where(best == 0, 0.0, pre)
+    nxt = jnp.where(best == nd - 1, 0.0, nxt)
 
-    # uniqueness: any d with S[d]*100 <= minS*(100+ratio) and |d - best| > 1
-    # invalidates the pixel (OpenCV's loop breaks on the first such d).
+    # uniqueness: any d with S[d]*100 < minS*(100+ratio) and |d - best| > 1
+    # invalidates the pixel.
     if cfg.uniqueness_ratio > 0:
-        thresh = min_s * (100 + cfg.uniqueness_ratio) / 100.0
-        ds = jnp.arange(nd)
-        bad = (s <= thresh[..., None]) & (jnp.abs(ds[None, None, :] - best[..., None]) > 1)
+        bad = (s * 100.0 < min_s[..., None] * (100.0 + cfg.uniqueness_ratio)) & (
+            jnp.abs(ds - b3) > 1
+        )
         unique_ok = ~jnp.any(bad, axis=-1)
     else:
         unique_ok = jnp.ones((h, w), bool)
 
     # quadratic subpixel (OpenCV: denom clamped to >= 1)
-    pre = jnp.take_along_axis(s, jnp.maximum(best - 1, 0)[..., None], axis=-1)[..., 0]
-    nxt = jnp.take_along_axis(s, jnp.minimum(best + 1, nd - 1)[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(pre + nxt - 2.0 * min_s, 1.0)
     offset = (pre - nxt) * 0.5 / denom
     interior = (best > 0) & (best < nd - 1)
     disp = best + cfg.min_disp + jnp.where(interior, offset, 0.0)
 
-    # disp12: right disparity by min-cost projection of the left volume
-    # (OpenCV computes disp2 from the same S), then cross-check.
+    # disp12: right disparity by min-cost projection of surviving left
+    # pixels (OpenCV builds disp2 from each valid left pixel's best d via
+    # a running min on cost), then cross-check; left pixels whose projected
+    # right column has no disp2 entry survive.
     if cfg.disp12_max_diff >= 0:
-        xs = jnp.arange(w)[None, :]
-        ds = cfg.min_disp + jnp.arange(nd)[None, None, :]
-        xr = xs[..., None] - ds  # right column hit by (x, d)
-        proj_cost = jnp.where((xr >= 0) & (xr < w), s, _BIG)
-        # for each right column, the min over all (x, d) that project to it:
-        # scatter-min via one-hot segment min over d-diagonals. Implement as
-        # min over d of shifted columns: right[:, xr] = min_d s[:, xr + d, d].
-        idx = jnp.arange(w)[:, None] + (cfg.min_disp + jnp.arange(nd))[None, :]
-        valid_idx = idx < w
-        gathered = jnp.take(
-            jnp.where(jnp.isfinite(proj_cost), proj_cost, _BIG),
-            jnp.clip(idx, 0, w - 1),
-            axis=1,
-        )  # (H, Wr, D): cost of left pixel xr+d at disparity d
-        gathered = jnp.where(valid_idx[None], gathered, _BIG)
-        disp2_idx = jnp.argmin(gathered, axis=-1)
-        disp2 = disp2_idx + cfg.min_disp
+        xs_local = jnp.arange(w)[None, :]
+        xg = xs_local + margin  # global column of each left pixel
+        bestd = best + cfg.min_disp
+        xr = xg - bestd  # global right column hit
+        proj_ok = unique_ok & (xr >= 0) & (xr < w_full)
+        ys = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
+        cost_scatter = jnp.full((h, w_full), _BIG).at[
+            ys, jnp.clip(xr, 0, w_full - 1)
+        ].min(jnp.where(proj_ok, min_s, _BIG))
+        hit_cost = cost_scatter[ys, jnp.clip(xr, 0, w_full - 1)]
+        is_winner = proj_ok & (min_s <= hit_cost)
+        disp2 = jnp.full((h, w_full), -(2**20)).at[
+            ys, jnp.clip(xr, 0, w_full - 1)
+        ].max(jnp.where(is_winner, bestd, -(2**20)))
         # left pixel x checks right pixel x - round(d)
         dr = jnp.round(disp).astype(jnp.int32)
-        xr1 = jnp.clip(xs - dr, 0, w - 1)
-        d2_at = jnp.take_along_axis(disp2, xr1, axis=1)
-        lr_ok = (jnp.abs(disp - d2_at) <= cfg.disp12_max_diff + 1e-6) & (
-            xs - dr >= 0
-        )
+        xr1 = xg - dr
+        d2_at = disp2[ys, jnp.clip(xr1, 0, w_full - 1)]
+        has_d2 = (d2_at > -(2**20)) & (xr1 >= 0) & (xr1 < w_full)
+        lr_ok = ~(has_d2 & (jnp.abs(disp - d2_at) > cfg.disp12_max_diff + 1e-6))
     else:
         lr_ok = jnp.ones((h, w), bool)
 
     valid = unique_ok & lr_ok
     invalid_val = float(cfg.min_disp - 1)
     out = jnp.where(valid, disp, invalid_val).astype(jnp.float32)
+    # pad the never-evaluated left margin back as INVALID
+    out = jnp.pad(out, ((0, 0), (margin, 0)), constant_values=invalid_val)
+    valid = jnp.pad(valid, ((0, 0), (margin, 0)), constant_values=False)
     agg = s if keep_volume else jnp.zeros((0,), s.dtype)
-    return SGBMOutput(out, valid, agg)
+    return SGBMOutput(out.astype(jnp.float32), valid, agg)

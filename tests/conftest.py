@@ -8,7 +8,9 @@ TPU pod is needed to exercise pjit/shard_map paths.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment presets JAX_PLATFORMS=axon (one real
+# TPU chip), but the suite needs the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,229 @@
+"""3DMST backend: native forest builder vs a pure-Python Felzenszwalb
+oracle, and the Euler-tour tree filter vs the reference's two-pass
+recurrence (src/Stereo3DMST.cpp:120-158) run directly on the built forest."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereomatch_tpu.native import build_forest, color_edge_weights
+from stereomatch_tpu.ops.mst import (
+    forest_arrays,
+    label_cost,
+    labels_to_disparity,
+    mst_pms_optimize,
+    tree_filter,
+)
+from stereomatch_tpu.config import MSTConfig
+
+
+# ---------------------------------------------------------------------------
+# oracle: Felzenszwalb + small merge, pure python
+# ---------------------------------------------------------------------------
+
+
+class _DSU:
+    def __init__(self, n):
+        self.p = list(range(n))
+        self.size = [1] * n
+        self.rank = [0] * n
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def join(self, a, b):
+        if self.rank[a] < self.rank[b]:
+            a, b = b, a
+        self.p[b] = a
+        self.size[a] += self.size[b]
+        if self.rank[a] == self.rank[b]:
+            self.rank[a] += 1
+        return a
+
+
+def _oracle_segment(wr, wd, c, min_size):
+    h, w = wr.shape[0], wd.shape[1]
+    n = h * w
+    edges = []
+    for y in range(h):
+        for x in range(w):
+            p = y * w + x
+            if x < w - 1:
+                edges.append((wr[y, x], p, p + 1))
+            if y < h - 1:
+                edges.append((wd[y, x], p, p + w))
+    order = sorted(range(len(edges)), key=lambda i: edges[i][0])
+    dsu = _DSU(n)
+    thr = [c] * n
+    tree_edges = []
+    for i in order:
+        wgt, a, b = edges[i]
+        ra, rb = dsu.find(a), dsu.find(b)
+        if ra != rb and wgt <= thr[ra] and wgt <= thr[rb]:
+            r = dsu.join(ra, rb)
+            thr[r] = wgt + c / dsu.size[r]
+            tree_edges.append((a, b, wgt))
+    for i in order:
+        wgt, a, b = edges[i]
+        ra, rb = dsu.find(a), dsu.find(b)
+        if ra != rb and (dsu.size[ra] < max(2, min_size) or dsu.size[rb] < max(2, min_size)):
+            dsu.join(ra, rb)
+            tree_edges.append((a, b, wgt))
+    comp = [dsu.find(i) for i in range(n)]
+    return comp, tree_edges
+
+
+def test_builder_matches_oracle_components(rng):
+    h, w = 12, 16
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    c, min_size = 100.0, 4
+    f = build_forest(wr, wd, c, min_size, gamma=1 / 12.0, delta=40.0)
+    comp, tree_edges = _oracle_segment(wr, wd, c, min_size)
+
+    # same partition: map each pixel to its component via tree_id
+    tid = np.zeros(h * w, np.int32)
+    tid[f.pixel_of_node] = f.tree_id
+    # the partitions must be identical (not just same count)
+    import collections
+
+    by_comp = collections.defaultdict(set)
+    for i, r in enumerate(comp):
+        by_comp[r].add(i)
+    by_tree = collections.defaultdict(set)
+    for i, t in enumerate(tid):
+        by_tree[t].add(i)
+    assert sorted(map(frozenset, by_comp.values())) == sorted(
+        map(frozenset, by_tree.values())
+    )
+    # forest has n - num_trees edges
+    n_root = int((f.parent_node == np.arange(h * w)).sum())
+    assert n_root == f.num_trees == len(by_comp)
+    assert len(tree_edges) == h * w - f.num_trees
+
+
+def test_builder_invariants(rng):
+    h, w = 20, 24
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 500.0, 8, gamma=1 / 12.0, delta=1.5)
+    n = h * w
+    # node order is a permutation; in/out positions a valid Euler structure
+    assert sorted(f.pixel_of_node) == list(range(n))
+    assert sorted(np.concatenate([f.in_pos, f.out_pos])) == list(range(2 * n))
+    assert (f.in_pos < f.out_pos).all()
+    assert (f.rel_gd <= 1.5 + 1e-6).all()
+    # parents precede children in node order (except tree/segment roots
+    # whose parent is the cut node, still earlier by construction)
+    assert (f.parent_node <= np.arange(n)).all()
+    # segments: one root per segment, roots have rel_gd == 0
+    assert int(f.seg_root_mask().sum()) == f.num_segments
+    assert (f.rel_gd[f.seg_root_mask()] == 0).all()
+    # tree_start consistent with tree_id
+    for t in range(f.num_trees):
+        seg = f.tree_id[f.tree_start[t] : f.tree_start[t + 1]]
+        assert (seg == t).all()
+
+
+def _reference_two_pass(f, cost_node, gamma_):
+    """Direct re-derivation of aggregateCostFromChildren/FromParent on the
+    ORIGINAL (unsplit) forest, reading structure from the Forest arrays."""
+    n = len(cost_node)
+    # rebuild full-tree parent/weight in node order; undo segment splits:
+    # parent_node already points across cuts; w_exp has exp(-gamma*w).
+    parent = f.parent_node
+    w = f.w_exp.astype(np.float64)
+    agg = cost_node.astype(np.float64).copy()
+    # children lists
+    order = np.argsort(-np.arange(n))  # reverse node order = leaves first
+    # leaf->root: nodes in reverse node order (parents always earlier)
+    up = agg.copy()
+    for i in range(n - 1, -1, -1):
+        if parent[i] != i:
+            up[parent[i]] += w[i] * up[i]
+    # root->leaf
+    down = up.copy()
+    for i in range(n):
+        if parent[i] != i:
+            down[i] = w[i] * down[parent[i]] + (1.0 - w[i] * w[i]) * up[i]
+    return down
+
+
+def test_tree_filter_matches_reference_recurrence(rng):
+    h, w = 16, 20
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    # small deltas force many segment splits, exercising the carry rounds
+    for delta in (1.0, 4.0, 8.0):
+        f = build_forest(wr, wd, 300.0, 4, gamma=1 / 12.0, delta=delta)
+        fa = forest_arrays(f)
+        cost_node = rng.random(h * w).astype(np.float32) * 0.5
+        got = np.asarray(tree_filter(jnp.asarray(cost_node), fa))
+        expect = _reference_two_pass(f, cost_node, 1 / 12.0)
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_tree_filter_batched(rng):
+    h, w = 8, 10
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 300.0, 4, gamma=1 / 12.0, delta=4.0)
+    fa = forest_arrays(f)
+    costs = rng.random((3, h * w)).astype(np.float32)
+    got = np.asarray(tree_filter(jnp.asarray(costs), fa))
+    for k in range(3):
+        np.testing.assert_allclose(
+            got[k], _reference_two_pass(f, costs[k], 1 / 12.0), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_label_cost_lerp(rng):
+    h, w, d = 6, 8, 10
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 300.0, 4, gamma=1 / 12.0, delta=40.0)
+    fa = forest_arrays(f)
+    vol = rng.random((h, w, d)).astype(np.float32) * 0.5
+    n = h * w
+    a = (rng.random(n) * 0.1 - 0.05).astype(np.float32)
+    b = (rng.random(n) * 0.1 - 0.05).astype(np.float32)
+    c = (rng.random(n) * d).astype(np.float32)
+    got = np.asarray(
+        label_cost(jnp.asarray(vol), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), fa, d)
+    )
+    for node in range(n):
+        pix = f.pixel_of_node[node]
+        x, y = pix % w, pix // w
+        dv = x * a[node] + y * b[node] + c[node]
+        lo, hi = int(np.floor(dv)), int(np.floor(dv)) + 1
+        if hi >= d or lo < 0:
+            expect = 0.5
+        else:
+            frac = dv - lo
+            expect = (1 - frac) * vol[y, x, lo] + frac * vol[y, x, hi]
+        np.testing.assert_allclose(got[node], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_mst_optimize_recovers_plane(rng):
+    """Cost volume with a clean fronto-parallel minimum at d=5: the
+    optimizer must converge to disparity 5 everywhere."""
+    h, w, d = 24, 32, 12
+    img = np.full((h, w, 3), 128, np.float32)  # one tree
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 5000.0, 200, gamma=1 / 12.0, delta=40.0)
+    assert f.num_trees == 1
+    fa = forest_arrays(f)
+    vol = np.full((h, w, d), 0.5, np.float32)
+    vol[:, :, 5] = 0.0
+    import jax
+
+    cfg = MSTConfig(max_disp=d, iterations=60)
+    a, b, c, _ = mst_pms_optimize(
+        jax.random.PRNGKey(0), jnp.asarray(vol), fa, cfg, max_neighbors=2,
+        iterations=60,
+    )
+    disp = np.asarray(labels_to_disparity(a, b, c, fa, d)) * (d - 1.0)
+    assert np.abs(disp - 5.0).mean() < 0.5, np.abs(disp - 5.0).mean()

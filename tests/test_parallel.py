@@ -1,0 +1,111 @@
+"""SPMD layer: tiled pipeline == monolithic pipeline on a virtual 8-device
+CPU mesh (SURVEY.md §4: the standard JAX way to test pod logic host-side)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereomatch_tpu.config import (
+    CostVolumeConfig,
+    CostVolumePipelineConfig,
+    DenoiseConfig,
+    GuidedFilterConfig,
+)
+from stereomatch_tpu.models import cost_volume_stereo
+from stereomatch_tpu.parallel import (
+    halo_exchange_rows,
+    make_mesh,
+    tiled_cost_volume_stereo,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    # the axon TPU plugin registers regardless of JAX_PLATFORMS, so ask for
+    # the virtual CPU devices explicitly (conftest sets
+    # xla_force_host_platform_device_count=8)
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 4:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    return make_mesh(n_tile=4, devices=cpus[:4])
+
+
+def _cpu(x):
+    return jax.device_put(x, jax.devices("cpu")[0])
+
+
+def _assert_disp_close(a, b, atol=0.02, tie_frac=0.01):
+    """Disparity maps equal up to subpixel fp noise, allowing a tiny
+    fraction of WTA tie flips (argmin over fp-reassociated costs)."""
+    diff = np.abs(a - b)
+    flipped = diff > atol
+    assert flipped.mean() <= tie_frac, (
+        f"{flipped.mean():.4f} of pixels differ by >{atol} "
+        f"(max {diff.max():.3f})"
+    )
+
+
+def test_halo_exchange_rows(mesh):
+    from stereomatch_tpu.parallel.tiled import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = np.arange(32.0, dtype=np.float32).reshape(16, 2)
+
+    fn = shard_map(
+        lambda b: halo_exchange_rows(b, 2, "tile"),
+        mesh=mesh,
+        in_specs=P("tile"),
+        out_specs=P("tile"),
+    )
+    out = np.asarray(fn(x))  # (16 + 4*2*2) rows... each tile emits Hs+4
+    out = out.reshape(4, 8, 2)
+    # tile 1's block must be [rows 2-3 (halo), rows 4-7, rows 8-9 (halo)]
+    np.testing.assert_array_equal(out[1, 2:6], np.asarray(x[4:8]))
+    np.testing.assert_array_equal(out[1, :2], np.asarray(x[2:4]))
+    np.testing.assert_array_equal(out[1, 6:], np.asarray(x[8:10]))
+    # global edges zero-filled
+    np.testing.assert_array_equal(out[0, :2], 0.0)
+    np.testing.assert_array_equal(out[3, 6:], 0.0)
+
+
+def test_tiled_equals_monolithic(mesh, rng):
+    h, w, d = 64, 48, 16
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=3, slab=8),
+        denoise=DenoiseConfig(iterations=15),
+    )
+    left = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((h, w, 3)) * 255).astype(np.float32)
+
+    mono = cost_volume_stereo(_cpu(left), _cpu(right), cfg)
+    fn = tiled_cost_volume_stereo(mesh, cfg)
+    tl, tr = fn(left, right)
+
+    # box-filter cumsums run over different extents (tile block vs whole
+    # image), so costs differ at fp32 rounding level; the parabola-subpixel
+    # division amplifies that into ~1e-3 disparity noise, and a near-exact
+    # WTA tie can legitimately flip to a different disparity.
+    _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
+    _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
+
+
+def test_tiled_no_denoise_close(mesh, rng):
+    """Without the iterative denoise, tiled WTA matches monolithic up to
+    fp32 reassociation noise through the subpixel fit."""
+    h, w, d = 32, 40, 8
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=2, slab=8),
+    )
+    left = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    mono = cost_volume_stereo(_cpu(left), _cpu(right), cfg, denoise=False)
+    fn = tiled_cost_volume_stereo(mesh, cfg, denoise=False)
+    tl, tr = fn(left, right)
+    _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
+    _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))

@@ -1,0 +1,186 @@
+"""SGBM backend: DP-recurrence oracle, cv2.StereoSGBM end-to-end comparison,
+and cv2.filterSpeckles comparison (the reference's SGBM is OpenCV's,
+src/StereoMatching.cpp:148-193, so OpenCV is the golden oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from stereomatch_tpu.config import SGBMConfig
+from stereomatch_tpu.ops.sgbm import (
+    aggregate_8path,
+    sgbm_disparity,
+    xsobel_clipped,
+)
+from stereomatch_tpu.ops.speckle import filter_speckles
+
+
+def _dp_path_oracle(cost, p1, p2, direction):
+    """Naive per-pixel DP along one direction (dy, dx)."""
+    h, w, nd = cost.shape
+    dy, dx = direction
+    lr = np.zeros_like(cost)
+    ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+    xs = range(w) if dx >= 0 else range(w - 1, -1, -1)
+    for y in ys:
+        for x in xs:
+            py, px = y - dy, x - dx
+            if 0 <= py < h and 0 <= px < w:
+                prev = lr[py, px]
+                m = prev.min()
+                up = np.concatenate([[1e9], prev[:-1]])
+                dn = np.concatenate([prev[1:], [1e9]])
+                cand = np.minimum(np.minimum(prev, up + p1), np.minimum(dn + p1, m + p2))
+                lr[y, x] = cost[y, x] + cand - m
+            else:
+                lr[y, x] = cost[y, x]
+    return lr
+
+
+def test_aggregate_8path_oracle(rng):
+    cost = rng.random((7, 9, 6)).astype(np.float32) * 10
+    p1, p2 = 2.0, 7.0
+    got = np.asarray(aggregate_8path(jnp.asarray(cost), p1, p2, 8))
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    expect = sum(_dp_path_oracle(cost, p1, p2, d) for d in dirs)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_aggregate_4path_oracle(rng):
+    cost = rng.random((5, 6, 4)).astype(np.float32) * 10
+    got = np.asarray(aggregate_8path(jnp.asarray(cost), 1.0, 3.0, 4))
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    expect = sum(_dp_path_oracle(cost, 1.0, 3.0, d) for d in dirs)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_xsobel_matches_opencv_tab():
+    rng = np.random.default_rng(3)
+    img = (rng.random((20, 30)) * 255).astype(np.uint8)
+    got = np.asarray(xsobel_clipped(jnp.asarray(img.astype(np.float32)), 63))
+    f = img.astype(np.int32)
+    # interior oracle: ((x+1)-(x-1)) * [1,2,1] vertical smoothing, clipped
+    for y in range(1, 19):
+        for x in range(1, 29):
+            s = (
+                (f[y, x + 1] - f[y, x - 1]) * 2
+                + (f[y - 1, x + 1] - f[y - 1, x - 1])
+                + (f[y + 1, x + 1] - f[y + 1, x - 1])
+            )
+            expect = min(max(s, -63), 63) + 63
+            assert got[y, x] == expect, (y, x)
+    assert (got[:, 0] == 63).all() and (got[:, -1] == 63).all()
+
+
+def _make_pair(rng, h=96, w=160, smooth=1):
+    """Textured scene with a disparity step, rendered by shifting.
+
+    smooth=1 keeps strong texture (well-posed matching everywhere);
+    heavier smoothing creates ambiguous regions where OpenCV's int16
+    tie-breaking in weak-texture areas diverges from any reimplementation.
+    """
+    tex = rng.random((h, w + 40)).astype(np.float32)
+    for _ in range(smooth):
+        tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, 1, 0) + np.roll(tex, -1, 1)) / 4
+    tex = (tex * 255).astype(np.uint8)
+    # disparity on the LEFT grid: left(x) matches right(x - d)
+    disp_true = np.full((h, w), 8.0, np.float32)
+    disp_true[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3] = 20.0
+    right = tex[:, 40 : 40 + w]
+    left = np.zeros_like(right)
+    xs = np.arange(w)
+    for y in range(h):
+        left[y] = tex[y, 40 + xs - disp_true[y].astype(int)]
+    return left, right, disp_true
+
+
+def test_sgbm_vs_opencv_d1():
+    rng = np.random.default_rng(7)
+    left, right, _ = _make_pair(rng)
+    cfg = SGBMConfig(min_disp=0, num_disp=32, block_size=5, channels=1)
+    p1, p2 = cfg.resolved_p1p2()
+    sg = cv2.StereoSGBM_create(
+        minDisparity=0,
+        numDisparities=32,
+        blockSize=5,
+        P1=p1,
+        P2=p2,
+        preFilterCap=cfg.prefilter_cap,
+        uniquenessRatio=cfg.uniqueness_ratio,
+        speckleWindowSize=0,  # speckle tested separately
+        disp12MaxDiff=cfg.disp12_max_diff,
+        mode=cv2.STEREO_SGBM_MODE_HH,
+    )
+    ref = sg.compute(left, right).astype(np.float32) / 16.0
+    out = sgbm_disparity(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), cfg
+    )
+    mine = np.asarray(out.disparity)
+
+    ref_valid = ref >= cfg.min_disp
+    my_valid = np.asarray(out.valid)
+    both = ref_valid & my_valid
+    assert both.mean() > 0.5  # plenty of co-valid pixels
+    err = np.abs(mine[both] - ref[both])
+    d1 = (err > 1.0).mean()
+    assert d1 < 0.01, f"D1 vs OpenCV = {d1:.4f}"
+    # valid masks mostly agree (residual differences are int16-tie-level
+    # decisions in occluded/ambiguous pixels)
+    agree = (ref_valid == my_valid).mean()
+    assert agree > 0.9, f"valid-mask agreement {agree:.3f}"
+
+
+def test_sgbm_recovers_truth():
+    rng = np.random.default_rng(11)
+    left, right, disp_true = _make_pair(rng)
+    cfg = SGBMConfig(min_disp=0, num_disp=32, block_size=5)
+    out = sgbm_disparity(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), cfg
+    )
+    mine = np.asarray(out.disparity)
+    valid = np.asarray(out.valid)
+    # ignore the step boundary band
+    err = np.abs(mine - disp_true)[valid]
+    assert (err < 1.0).mean() > 0.9
+
+
+def test_sgbm_vs_opencv_flir():
+    """Real-image parity gate vs cv2 on a bundled FLIR pair (downsampled).
+
+    Current state: bulk textured pixels agree to ~1% (>1px); the residual
+    sits in weak-texture/occluded pixels where int16 tie-breaking decides.
+    KITTI-style D1 (>3px and >5%) is gated at 2.5%."""
+    from stereomatch_tpu.io import load_image
+
+    left = load_image("/root/reference/build/000020_191400042.jpg")[::4, ::4]
+    right = load_image("/root/reference/build/000020_191400039.jpg")[::4, ::4]
+    gl = cv2.cvtColor(left.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    gr = cv2.cvtColor(right.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    cfg = SGBMConfig(min_disp=0, num_disp=64, block_size=5, p1=200, p2=800)
+    sg = cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=64, blockSize=5, P1=200, P2=800,
+        preFilterCap=63, uniquenessRatio=10, speckleWindowSize=0,
+        disp12MaxDiff=1, mode=cv2.STEREO_SGBM_MODE_HH,
+    )
+    ref = sg.compute(gl, gr).astype(np.float32) / 16.0
+    out = sgbm_disparity(jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32), cfg)
+    mine, mv = np.asarray(out.disparity), np.asarray(out.valid)
+    rv = ref >= 0
+    both = rv & mv
+    diff = np.abs(mine - ref) * both
+    kitti_d1 = ((diff > 3) & (diff > 0.05 * np.maximum(ref, 1e-3))).sum() / both.sum()
+    assert kitti_d1 < 0.025, f"KITTI-D1 vs OpenCV on FLIR = {kitti_d1:.4f}"
+    assert (rv == mv).mean() > 0.85
+
+
+def test_filter_speckles_vs_opencv(rng):
+    h, w = 40, 50
+    disp = (rng.integers(0, 3, (h, w)) * 5).astype(np.float32)
+    disp[rng.random((h, w)) < 0.2] = -1.0  # invalid
+    # OpenCV 5 filterSpeckles accepts CV_8U/CV_16S only; values are ints
+    ref16 = disp.astype(np.int16)
+    cv2.filterSpeckles(ref16, -1, 30, 1)
+    got = np.asarray(filter_speckles(jnp.asarray(disp), -1.0, 30, 1.0))
+    np.testing.assert_allclose(got, ref16.astype(np.float32))

@@ -1,0 +1,42 @@
+"""TGV-2 refinement (ref kernels: src/PatchMatchStereoGPU.cu:4412-4663)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereomatch_tpu.ops.tgv import TGVParams, diffusion_tensor, tgv2_refine
+
+
+def test_diffusion_tensor_structure(rng):
+    gray = (rng.random((12, 16)) * 255).astype(np.float32)
+    g = np.asarray(diffusion_tensor(jnp.asarray(gray), a=5.0, b=0.5))
+    # symmetric 2x2, eigenvalues in (0, 1]: along-edge direction keeps 1
+    np.testing.assert_allclose(g[..., 1], g[..., 2])
+    tr = g[..., 0] + g[..., 3]
+    det = g[..., 0] * g[..., 3] - g[..., 1] * g[..., 2]
+    disc = np.sqrt(np.maximum(tr * tr / 4 - det, 0))
+    lo, hi = tr / 2 - disc, tr / 2 + disc
+    assert (hi <= 1.0 + 1e-5).all()
+    # s = exp(-a |grad|^b) underflows to 0 at very strong edges; fp32
+    # roundoff can push the small eigenvalue epsilon-negative
+    assert (lo >= -1e-6).all()
+    # flat image -> identity tensor
+    flat = np.full((8, 8), 7.0, np.float32)
+    gf = np.asarray(diffusion_tensor(jnp.asarray(flat)))
+    np.testing.assert_allclose(gf[..., 0], 1.0)
+    np.testing.assert_allclose(gf[..., 3], 1.0)
+    np.testing.assert_allclose(gf[..., 1], 0.0)
+
+
+def test_tgv2_denoises_piecewise_planar(rng):
+    """TGV-2 should recover a piecewise-LINEAR field from noise (that is
+    its advantage over TV, which staircases ramps)."""
+    h, w = 48, 64
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    clean = np.clip(xs / w, 0, 1) * np.ones((h, 1), np.float32)  # ramp
+    clean[:, : w // 3] = 0.2  # one flat region with a jump
+    noisy = np.clip(clean + rng.normal(0, 0.08, (h, w)).astype(np.float32), 0, 1)
+    guide = (clean * 255).astype(np.float32)  # edges aligned with the jump
+    params = TGVParams(iterations=200)
+    out = np.asarray(tgv2_refine(jnp.asarray(noisy), jnp.asarray(guide), params))
+    assert np.abs(out - clean).mean() < 0.5 * np.abs(noisy - clean).mean()
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
