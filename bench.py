@@ -40,19 +40,21 @@ def main():
     @jax.jit
     def step(l, r):
         out = sgbm_disparity(l, r, cfg)
-        return out.disparity
+        # scalar summary: forces the whole pipeline but keeps the host
+        # transfer negligible (block_until_ready is unreliable and full-map
+        # transfers cost ~100s of ms through tunneled device backends)
+        return jnp.sum(out.disparity)
 
     print("compiling...", file=sys.stderr)
     t0 = time.time()
-    step(left, right).block_until_ready()
+    float(step(left, right))
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # warmup
-    step(left, right).block_until_ready()
+    float(step(left, right))
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        step(left, right).block_until_ready()
+        float(step(left, right))
     dt = (time.time() - t0) / iters
     fps = 1.0 / dt
     print(f"sgbm 1280x960x128: {dt * 1e3:.1f} ms/frame", file=sys.stderr)

@@ -152,6 +152,10 @@ class PatchMatchConfig:
     plane_penalty: float = 120.0
     iterations: int = 3
     refine_end_dz: float = 0.1
+    # "grad_sign": the GPU kernel's active metric (sign-of-gradient census,
+    # .cu:981-983); "adgrad": the CPU pm dissimilarity
+    # (1-alpha)*min(L1color, tau_c) + alpha*min(L1grad, tau_g) (pm.cpp:97-104)
+    metric: str = "grad_sign"
 
 
 @dataclass(frozen=True)

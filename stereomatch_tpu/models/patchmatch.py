@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PatchMatchConfig, WeightedMedianConfig
-from ..ops.patchmatch import patchmatch_stereo
-from ..ops.postprocess import lr_occlusion_mask, nearest_valid_fill, weighted_median
+from ..ops.patchmatch import patchmatch_stereo, plane_fill_occluded
+from ..ops.postprocess import lr_occlusion_mask, weighted_median
 
 __all__ = ["patchmatch_pipeline", "PatchMatchOutput"]
 
@@ -44,8 +44,9 @@ def patchmatch_pipeline(
     if postprocess:
         occ_l = lr_occlusion_mask(dl, dr, -1, cfg.max_disp, cfg.min_disp)
         occ_r = lr_occlusion_mask(dr, dl, +1, cfg.max_disp, cfg.min_disp)
-        dl = nearest_valid_fill(jnp.where(occ_l, 0.0, dl), ~occ_l)
-        dr = nearest_valid_fill(jnp.where(occ_r, 0.0, dr), ~occ_r)
+        # fill with extended PLANES, lower disparity wins (pm.cpp:367-392)
+        dl = plane_fill_occluded(left, ~occ_l)
+        dr = plane_fill_occluded(right, ~occ_r)
         # weighted median over the filled-in pixels only (the reference's
         # occluded-only 21x21 color-weighted median, .cu:2453-2463);
         # gamma=0.1 branch since images are in [0, 255] (.cu:2474)

@@ -18,10 +18,21 @@ from .cost import (  # noqa: F401
     ternary_census_planes,
     windowed_volumes,
 )
-from .select import wta_argmin, wta_disparity  # noqa: F401
+from .select import wta_argmin, wta_coupled, wta_disparity  # noqa: F401
 from .postprocess import (  # noqa: F401
     lr_consistency,
     lr_occlusion_mask,
     nearest_valid_fill,
     weighted_median,
 )
+from .variational import (  # noqa: F401
+    edge_weight,
+    huber_denoise,
+    variational_disparity_denoise,
+)
+from .speckle import connected_components, filter_speckles  # noqa: F401
+from .sgbm import sgbm_disparity  # noqa: F401
+from .tgv import diffusion_tensor, tgv2_refine  # noqa: F401
+from .nltgv import nl2tgv_refine  # noqa: F401
+from .patchmatch import patchmatch_stereo, plane_fill_occluded  # noqa: F401
+from .mst import forest_arrays, mst_pms_optimize, tree_filter  # noqa: F401

@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from ..config import PatchMatchConfig
 
-__all__ = ["PlaneState", "plane_cost", "patchmatch_stereo", "planes_to_disparity"]
+__all__ = [
+    "PlaneState",
+    "plane_cost",
+    "patchmatch_stereo",
+    "planes_to_disparity",
+    "plane_fill_occluded",
+]
 
 
 class PlaneState(NamedTuple):
@@ -72,12 +78,22 @@ def plane_cost(
     planes: PlaneState,
     cfg: PatchMatchConfig,
     sign: int,  # -1 left base (match at x - d), +1 right base
+    match_bgr: jax.Array | None = None,  # needed for metric="adgrad"
+    base_grad: jax.Array | None = None,  # (H, W, 2) forward gradients
+    match_grad: jax.Array | None = None,
 ) -> jax.Array:
-    """GPU-reference window cost of a plane map (evaluateCost semantics,
+    """Window cost of a plane map.
+
+    metric="grad_sign" (GPU evaluateCost semantics,
     src/PatchMatchStereoGPU.cu:861-998, active #if 1 metric): per tap,
     adaptive weight exp(-L1_bgr(center, tap)/10) and penalty 0.1 where the
     base and match gray increments disagree in sign; out-of-range taps add
-    10.0 with weight 1. Returns (H, W) cost."""
+    10.0 with weight 1.
+
+    metric="adgrad" (CPU pm::PatchMatch dissimilarity, src/pm.cpp:97-160):
+    same adaptive weights, penalty (1-alpha)*min(L1_bgr/ch, tau_c)
+    + alpha*min(L1_grad, tau_g); out-of-range taps cost plane_penalty.
+    Returns (H, W) cost."""
     h, w = base_gray.shape
     r = cfg.window_size // 2
     stride = cfg.tap_stride
@@ -105,8 +121,14 @@ def plane_cost(
     gray_p = jnp.pad(base_gray, pad_spec, mode="edge")
     bgr_p = jnp.pad(base_bgr, pad_spec + ((0, 0),), mode="edge")
     match_p = jnp.pad(match_gray, pad_spec, mode="edge")  # pad rows for y+h
+    adgrad = cfg.metric == "adgrad"
+    if adgrad:
+        mbgr_p = jnp.pad(match_bgr, pad_spec + ((0, 0),), mode="edge")
+        bgrad_p = jnp.pad(base_grad, pad_spec + ((0, 0),), mode="edge")
+        mgrad_p = jnp.pad(match_grad, pad_spec + ((0, 0),), mode="edge")
 
     offs = jnp.asarray(taps, jnp.int32)
+    oob_cost = cfg.plane_penalty if adgrad else 10.0
 
     def tap_step(carry, off):
         cost_acc, w_acc = carry
@@ -124,19 +146,78 @@ def plane_cost(
         weight = jnp.exp(
             -jnp.sum(jnp.abs(base_bgr - base_tap_c), axis=-1) / cfg.gamma
         )
-        # match gray at (y + dy, x + dx + sign*d_tap), linear in x
-        match_shift = jax.lax.dynamic_slice(match_p, (dy + r, r), (h, w))
         mx = jnp.clip(xs + dx + sign * d_tap, 0, w - 1)
-        match_tap = _sample_x(match_shift, mx, None)
-        sign_disagree = (g_base_c - base_tap_g) * (g_match_c - match_tap) < 0.0
-        penalty = jnp.where(sign_disagree, 0.1, 0.0)
-        cost_acc = cost_acc + jnp.where(ok, weight * penalty, 10.0)
+        if adgrad:
+            base_tap_grad = jax.lax.dynamic_slice(
+                bgrad_p, (dy + r, dx + r, 0), (h, w, 2)
+            )
+            c_l1 = jnp.zeros((h, w))
+            for ch in range(3):
+                m_ch = _sample_x(
+                    jax.lax.dynamic_slice(mbgr_p, (dy + r, r, ch), (h, w, 1))[..., 0],
+                    mx, None,
+                )
+                c_l1 = c_l1 + jnp.abs(base_tap_c[..., ch] - m_ch)
+            g_l1 = jnp.zeros((h, w))
+            for ch in range(2):
+                mg_ch = _sample_x(
+                    jax.lax.dynamic_slice(mgrad_p, (dy + r, r, ch), (h, w, 1))[..., 0],
+                    mx, None,
+                )
+                g_l1 = g_l1 + jnp.abs(base_tap_grad[..., ch] - mg_ch)
+            penalty = (1.0 - cfg.alpha) * jnp.minimum(
+                c_l1, cfg.tau_c
+            ) + cfg.alpha * jnp.minimum(g_l1, cfg.tau_g)
+        else:
+            # match gray at (y + dy, x + dx + sign*d_tap), linear in x
+            match_shift = jax.lax.dynamic_slice(match_p, (dy + r, r), (h, w))
+            match_tap = _sample_x(match_shift, mx, None)
+            sign_disagree = (g_base_c - base_tap_g) * (g_match_c - match_tap) < 0.0
+            penalty = jnp.where(sign_disagree, 0.1, 0.0)
+        cost_acc = cost_acc + jnp.where(ok, weight * penalty, oob_cost)
         w_acc = w_acc + jnp.where(ok, weight, 1.0)
         return (cost_acc, w_acc), None
 
     init = (jnp.zeros((h, w)), jnp.zeros((h, w)))
     (cost, wsum), _ = jax.lax.scan(tap_step, init, offs)
     return cost / wsum
+
+
+def plane_fill_occluded(planes: PlaneState, valid: jax.Array) -> jax.Array:
+    """Occlusion fill with PLANES, not constants: each invalid pixel takes
+    the nearest valid pixel's plane on its row from the left and right,
+    EXTENDS both planes to its own (x, y), and keeps the lower disparity
+    (background wins) — the reference's fill (pm.cpp:367-392; GPU variant
+    scans for valid planes at .cu:2190-2224). Returns the disparity map.
+
+    The sequential while-loop searches become two directional index scans.
+    """
+    nx, ny, d = planes
+    h, w = d.shape
+    xs = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
+    ys = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
+
+    left_idx = jax.lax.cummax(jnp.where(valid, xs, -1), axis=1)
+    right_idx = jax.lax.cummin(jnp.where(valid, xs, w), axis=1, reverse=True)
+    has_l, has_r = left_idx >= 0, right_idx < w
+
+    def extend(src_idx):
+        sx = jnp.clip(src_idx, 0, w - 1)
+        g = lambda a: jnp.take_along_axis(a, sx, axis=1)  # noqa: E731
+        snx, sny, sd = g(nx), g(ny), g(d)
+        nz = _nz(snx, sny)
+        af, bf = -snx / nz, -sny / nz
+        cf = (snx * sx + sny * ys + nz * sd) / nz
+        return af * xs + bf * ys + cf
+
+    d_l = extend(left_idx)
+    d_r = extend(right_idx)
+    fill = jnp.where(
+        has_l & has_r,
+        jnp.minimum(d_l, d_r),
+        jnp.where(has_l, d_l, jnp.where(has_r, d_r, 0.0)),
+    )
+    return jnp.where(valid, d, fill)
 
 
 def _view_transform(other: PlaneState, sign: int, w: int) -> PlaneState:
@@ -185,10 +266,28 @@ def patchmatch_stereo(
     left = rand_init(kl)
     right = rand_init(kr)
 
+    if cfg.metric == "adgrad":
+        # central-difference gray gradients (the role of pm.cpp's Sobel/8,
+        # compute_greyscale_gradient, pm.cpp:70-88)
+        def grad2(g):
+            gx = jnp.gradient(g, axis=1)
+            gy = jnp.gradient(g, axis=0)
+            return jnp.stack([gx, gy], axis=-1)
+
+        grad_l, grad_r = grad2(gray_l), grad2(gray_r)
+    else:
+        grad_l = grad_r = None
+
     def cost_of(planes, base, sign):
         if base == 0:
-            return plane_cost(left_bgr, gray_l, gray_r, planes, cfg, sign)
-        return plane_cost(right_bgr, gray_r, gray_l, planes, cfg, sign)
+            return plane_cost(
+                left_bgr, gray_l, gray_r, planes, cfg, sign,
+                match_bgr=right_bgr, base_grad=grad_l, match_grad=grad_r,
+            )
+        return plane_cost(
+            right_bgr, gray_r, gray_l, planes, cfg, sign,
+            match_bgr=left_bgr, base_grad=grad_r, match_grad=grad_l,
+        )
 
     cost_l = cost_of(left, 0, -1)
     cost_r = cost_of(right, 1, +1)

@@ -14,12 +14,34 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["wta_disparity", "wta_argmin"]
+__all__ = ["wta_disparity", "wta_argmin", "wta_coupled"]
 
 
 def wta_argmin(volume: jax.Array) -> jax.Array:
     """Plain argmin over the last (disparity) axis, first-minimum ties."""
     return jnp.argmin(volume, axis=-1)
+
+
+def wta_coupled(
+    volume: jax.Array,
+    u: jax.Array,
+    lagr: jax.Array,
+    lambda_d: float,
+    theta_inv: float,
+    min_disp: int = 0,
+    subpixel: bool = True,
+) -> jax.Array:
+    """WTA over the augmented-Lagrangian-coupled cost
+        lambda_d * C(d) + L * (u - d) + (u - d)^2 / (2 theta)
+    (ref: MCCNN_ALTV_CostVolumeWTA, src/PatchMatchStereoGPU.cu:4748-4803) —
+    the data step of the AL-TGV splitting: pick the disparity that balances
+    matching cost against staying close to the smoothed field u.
+    """
+    nd = volume.shape[-1]
+    ds = jnp.arange(nd, dtype=jnp.float32) + float(min_disp)
+    diff = u[..., None] - ds
+    coupled = lambda_d * volume + lagr[..., None] * diff + 0.5 * theta_inv * diff * diff
+    return wta_disparity(coupled, min_disp, subpixel)
 
 
 def wta_disparity(

@@ -147,7 +147,7 @@ def _dp_candidates(l_prev: jax.Array, m_prev: jax.Array, p1: float, p2: float):
     return cand - m_prev
 
 
-def _scan_block(n: int, want: int = 16) -> int:
+def _scan_block(n: int, want: int = 4) -> int:
     """Largest block size <= want dividing n (scan steps shrink by this)."""
     for k in range(min(want, n), 0, -1):
         if n % k == 0:

@@ -1,0 +1,138 @@
+"""Pallas TPU kernels for SGBM path aggregation.
+
+The XLA `lax.scan` formulation (ops/sgbm.py::aggregate_8path) re-reads and
+re-writes its carry from HBM every step and materializes one partial volume
+per scan. These kernels keep the DP carry (the Lr state of up to three
+directions) resident in VMEM scratch across a sequential grid, stream one
+row (or column) block of the cost volume per step, and ACCUMULATE into the
+output volume in place (input/output aliasing) — the aggregation becomes
+4 kernels x (read C + read/write S) = the memory-traffic lower bound for
+an 8-path SGBM that keeps S.
+
+Recurrence per direction (identical to aggregate_8path):
+    Lr(p,d) = C(p,d) + min(Lr(q,d), Lr(q,d-1)+P1, Lr(q,d+1)+P1,
+                           minLr(q)+P2) - minLr(q)
+with zero state at image borders. Diagonal directions are the row
+recurrence with the carry shifted one column.
+
+`aggregate_8path_pallas` matches `aggregate_8path` exactly (tested in
+interpret mode on CPU; compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["aggregate_8path_pallas"]
+
+_BIG = jnp.float32(1e9)
+
+
+def _dp_step(c, lp, p1, p2):
+    """One DP update: c, lp are (..., D)."""
+    mp = jnp.min(lp, axis=-1, keepdims=True)
+    up = jnp.concatenate([jnp.full_like(lp[..., :1], _BIG), lp[..., :-1]], axis=-1)
+    dn = jnp.concatenate([lp[..., 1:], jnp.full_like(lp[..., :1], _BIG)], axis=-1)
+    cand = jnp.minimum(jnp.minimum(lp, up + p1), jnp.minimum(dn + p1, mp + p2))
+    return c + cand - mp
+
+
+def _row_kernel(ndir, p1, p2, c_ref, s_in_ref, s_out_ref, carry):
+    """Grid over rows; carry (ndir, W, D) persists in VMEM. Directions:
+    0 = vertical, 1 = diagonal from the left (predecessor col-1),
+    2 = diagonal from the right."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    c = c_ref[0]  # (W, D)
+    w = c.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    total = s_in_ref[0]
+    for k in range(ndir):
+        lp = carry[k]
+        if k == 1:  # predecessor one column left: shift down along W, zero row 0
+            lp = jnp.where(col == 0, 0.0, pltpu.roll(lp, 1, axis=0))
+        elif k == 2:  # predecessor one column right
+            lp = jnp.where(col == w - 1, 0.0, pltpu.roll(lp, -1, axis=0))
+        l = _dp_step(c, lp, p1, p2)
+        carry[k] = l
+        total = total + l
+    s_out_ref[0] = total
+
+
+def _col_kernel(p1, p2, c_ref, s_in_ref, s_out_ref, carry):
+    """Grid over columns; carry (H, D) in VMEM."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    c = c_ref[:, 0]  # (H, D)
+    l = _dp_step(c, carry[...], p1, p2)
+    carry[...] = l
+    s_out_ref[:, 0] = s_in_ref[:, 0] + l
+
+
+def _row_pass(cost, s, p1, p2, ndir, reverse, interpret):
+    h, w, d = cost.shape
+    idx = (lambda i: (h - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_row_kernel, ndir, p1, p2),
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((1, w, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, d), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w, d), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, d), cost.dtype),
+        scratch_shapes=[pltpu.VMEM((ndir, w, d), cost.dtype)],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(cost, s)
+
+
+def _col_pass(cost, s, p1, p2, reverse, interpret):
+    h, w, d = cost.shape
+    idx = (lambda j: (0, w - 1 - j, 0)) if reverse else (lambda j: (0, j, 0))
+    return pl.pallas_call(
+        functools.partial(_col_kernel, p1, p2),
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, d), cost.dtype),
+        scratch_shapes=[pltpu.VMEM((h, d), cost.dtype)],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(cost, s)
+
+
+def aggregate_8path_pallas(
+    cost: jax.Array,
+    p1: float,
+    p2: float,
+    num_paths: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in equivalent of ops.sgbm.aggregate_8path with VMEM-resident
+    carries. Set interpret=True off-TPU (tests)."""
+    ndir = 3 if num_paths == 8 else 1
+    p1 = jnp.float32(p1)
+    p2 = jnp.float32(p2)
+    s = jnp.zeros_like(cost)
+    s = _row_pass(cost, s, p1, p2, ndir, False, interpret)  # S, SE, SW
+    s = _row_pass(cost, s, p1, p2, ndir, True, interpret)  # N, NE, NW
+    s = _col_pass(cost, s, p1, p2, False, interpret)  # E (left-to-right)
+    s = _col_pass(cost, s, p1, p2, True, interpret)  # W
+    return s

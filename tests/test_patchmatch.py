@@ -10,7 +10,39 @@ from stereomatch_tpu.ops.patchmatch import (
     PlaneState,
     patchmatch_stereo,
     plane_cost,
+    plane_fill_occluded,
 )
+
+
+def test_plane_fill_occluded():
+    """Invalid pixels take the nearest valid plane extended to them, lower
+    disparity winning (pm.cpp:367-392)."""
+    h, w = 2, 6
+    # planes: constant-d 10 on the left end, slanted a=1 on the right end
+    nx = np.zeros((h, w), np.float32)
+    ny = np.zeros((h, w), np.float32)
+    d = np.zeros((h, w), np.float32)
+    d[:, 0] = 10.0
+    # right plane at x=5: slope a=0.5 => nx/nz = -0.5
+    a = 0.5
+    nz = 1.0 / np.sqrt(1 + a * a)
+    nx[:, 5] = -a * nz
+    d[:, 5] = 4.0
+    valid = np.zeros((h, w), bool)
+    valid[:, 0] = True
+    valid[:, 5] = True
+    out = np.asarray(
+        plane_fill_occluded(
+            PlaneState(jnp.asarray(nx), jnp.asarray(ny), jnp.asarray(d)),
+            jnp.asarray(valid),
+        )
+    )
+    # left plane extends flat 10; right plane at x: 4 + 0.5*(x-5)
+    for x in range(1, 5):
+        expect = min(10.0, 4.0 + a * (x - 5))
+        np.testing.assert_allclose(out[0, x], expect, rtol=1e-5)
+    np.testing.assert_allclose(out[:, 0], 10.0)
+    np.testing.assert_allclose(out[:, 5], 4.0, atol=1e-5)
 
 
 def _shifted_pair(rng, h=48, w=72, true_d=5):
@@ -45,6 +77,23 @@ def test_plane_cost_prefers_truth(rng):
     assert c_true[inner].mean() < c_wrong[inner].mean()
     # true-disparity cost should be ~0 (identical windows)
     assert c_true[inner].mean() < 0.02, c_true[inner].mean()
+
+
+def test_patchmatch_adgrad_converges(rng):
+    """CPU-pm dissimilarity metric (pm.cpp:97-160) also recovers the shift."""
+    true_d = 5
+    left, right = _shifted_pair(rng, true_d=true_d)
+    cfg = PatchMatchConfig(
+        min_disp=0, max_disp=12, window_size=15, tap_stride=3, iterations=16,
+        metric="adgrad",
+    )
+    l, r, cl, cr = patchmatch_stereo(
+        jax.random.PRNGKey(1), jnp.asarray(left), jnp.asarray(right), cfg
+    )
+    dl = np.asarray(l.d)
+    inner = dl[10:-10, 14:-14]
+    frac_good = (np.abs(inner - true_d) < 1.0).mean()
+    assert frac_good > 0.8, frac_good
 
 
 def test_patchmatch_converges_to_shift(rng):

@@ -42,6 +42,23 @@ def test_wta_subpixel_oracle(rng):
     assert abs(got[0, 0] - (4.3 + 3)) < 1e-3
 
 
+def test_wta_coupled_oracle(rng):
+    """AL-coupled WTA (ref: MCCNN_ALTV_CostVolumeWTA, .cu:4748-4803)."""
+    from stereomatch_tpu.ops.select import wta_coupled
+
+    vol = rng.random((5, 6, 10)).astype(np.float32)
+    u = (rng.random((5, 6)) * 9).astype(np.float32)
+    lagr = (rng.random((5, 6)) - 0.5).astype(np.float32)
+    lam, th = 0.7, 4.0
+    ds = np.arange(10, dtype=np.float32)
+    diff = u[..., None] - ds
+    coupled = lam * vol + lagr[..., None] * diff + 0.5 * th * diff * diff
+    got = np.asarray(
+        wta_coupled(jnp.asarray(vol), jnp.asarray(u), jnp.asarray(lagr), lam, th)
+    )
+    np.testing.assert_allclose(got, _wta_oracle(coupled, 0), rtol=1e-5, atol=1e-5)
+
+
 def test_wta_tie_breaks_first():
     vol = np.ones((1, 1, 8), np.float32)
     vol[0, 0, 3] = 0.0

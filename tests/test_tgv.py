@@ -27,6 +27,28 @@ def test_diffusion_tensor_structure(rng):
     np.testing.assert_allclose(gf[..., 1], 0.0)
 
 
+def test_nl2tgv_denoises(rng):
+    """NL2TGV (ref .cu:4805-5103) must reduce noise on a piecewise-planar
+    field with color-aligned support weights."""
+    from stereomatch_tpu.ops.nltgv import NL2TGVParams, nl2tgv_refine, support_weights
+
+    h, w = 32, 40
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    clean = np.clip(xs / w, 0, 1) * np.ones((h, 1), np.float32)
+    clean[:, : w // 3] = 0.3
+    noisy = np.clip(clean + rng.normal(0, 0.08, (h, w)).astype(np.float32), 0, 1)
+    bgr = np.repeat((clean * 255)[..., None], 3, axis=-1).astype(np.float32)
+    params = NL2TGVParams(iterations=120)
+    # support weights: in [0,1], zero out of bounds, high on flat color
+    a1 = np.asarray(support_weights(jnp.asarray(bgr / 255.0), params))
+    assert a1.shape == (h, w, 12)
+    assert a1.max() <= 1.0 + 1e-6 and a1.min() >= 0.0
+    assert a1[..., 0].max() > 0.5  # nearest neighbor on flat color
+    out = np.asarray(nl2tgv_refine(jnp.asarray(noisy), jnp.asarray(bgr), params))
+    assert np.isfinite(out).all()
+    assert np.abs(out - clean).mean() < 0.6 * np.abs(noisy - clean).mean()
+
+
 def test_tgv2_denoises_piecewise_planar(rng):
     """TGV-2 should recover a piecewise-LINEAR field from noise (that is
     its advantage over TV, which staircases ramps)."""
