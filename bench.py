@@ -59,6 +59,40 @@ def main():
     fps = 1.0 / dt
     print(f"sgbm 1280x960x128: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
 
+    # secondary engine timings (stderr only; smaller config to bound
+    # compile time on the tunneled chip)
+    try:
+        from stereomatch_tpu.config import (
+            CostVolumeConfig,
+            CostVolumePipelineConfig,
+            GuidedFilterConfig,
+        )
+        from stereomatch_tpu.models import cost_volume_stereo
+
+        cfg2 = CostVolumePipelineConfig(
+            volume=CostVolumeConfig(min_disp=0, max_disp=127),
+            guided=GuidedFilterConfig(slab=16),
+        )
+        lb = jnp.stack([left] * 3, axis=-1)
+        rb = jnp.stack([right] * 3, axis=-1)
+
+        @jax.jit
+        def cv_step(l, r):
+            out = cost_volume_stereo(l, r, cfg2)
+            return jnp.sum(out.left_disp) + jnp.sum(out.right_disp)
+
+        float(cv_step(lb, rb))
+        t0 = time.time()
+        for _ in range(3):
+            float(cv_step(lb, rb))
+        print(
+            f"costvolume+guided+denoise 1280x960x128 (both views): "
+            f"{(time.time() - t0) / 3 * 1e3:.1f} ms/frame",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary metrics must never break the bench
+        print(f"secondary bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -40,15 +40,29 @@ __all__ = [
 def shifted_stack(img: jax.Array, num_disp: int, sign: int, min_disp: int = 0):
     """Stack of horizontally shifted copies: out[y, x, k] = img[y, x + sign*(min_disp+k)].
 
-    Returns (stack, valid) where valid[x, k] marks in-bounds source columns.
-    img may be (H, W) or (H, W, C); the disparity axis is inserted after W.
+    Returns (stack, valid) where valid[x, k] marks in-bounds source columns
+    (out-of-bounds entries hold the edge-clamped value, as the previous
+    gather formulation did). img may be (H, W) or (H, W, C); the disparity
+    axis is inserted after W.
+
+    Implemented as NUM_DISP static slices of an edge-padded image rather
+    than one big gather — XLA lowers slices to cheap copies while gathers
+    on the lane dimension serialize on TPU.
     """
     w = img.shape[1]
-    disps = min_disp + jnp.arange(num_disp)
-    idx = jnp.arange(w)[:, None] + sign * disps[None, :]
+    lo = min(sign * min_disp, sign * (min_disp + num_disp - 1), 0)
+    hi = max(sign * min_disp, sign * (min_disp + num_disp - 1), 0)
+    pad = [(0, 0)] * img.ndim
+    pad[1] = (-lo, hi)
+    imgp = jnp.pad(img, pad, mode="edge")
+    slices = [
+        jax.lax.slice_in_dim(imgp, sign * (min_disp + k) - lo, sign * (min_disp + k) - lo + w, axis=1)
+        for k in range(num_disp)
+    ]
+    stack = jnp.stack(slices, axis=2)
+    idx = jnp.arange(w)[:, None] + sign * (min_disp + jnp.arange(num_disp))[None, :]
     valid = (idx >= 0) & (idx < w)
-    idx = jnp.clip(idx, 0, w - 1)
-    return jnp.take(img, idx, axis=1), valid
+    return stack, valid
 
 
 def local_contrast(img: jax.Array, radius: int) -> jax.Array:

@@ -90,15 +90,14 @@ def bt_cost_volume(
     """Symmetric Birchfield-Tomasi pixel cost, left reference:
     cost[y, x, d] = BT(left(x), right(x - d)). Out-of-range columns take the
     cost at the clamped column (OpenCV evaluates them against the edge)."""
-    w = left.shape[1]
     lmin, lmax = _bt_terms(left)
     rmin, rmax = _bt_terms(right)
 
-    idx = jnp.arange(w)[:, None] - (min_disp + jnp.arange(num_disp))[None, :]
-    idx = jnp.clip(idx, 0, w - 1)
-    r = jnp.take(right, idx, axis=1)
-    r_min = jnp.take(rmin, idx, axis=1)
-    r_max = jnp.take(rmax, idx, axis=1)
+    from .cost import shifted_stack
+
+    r, _ = shifted_stack(right, num_disp, -1, min_disp)
+    r_min, _ = shifted_stack(rmin, num_disp, -1, min_disp)
+    r_max, _ = shifted_stack(rmax, num_disp, -1, min_disp)
 
     l = left[:, :, None]
     c0 = jnp.maximum(0.0, jnp.maximum(l - r_max, r_min - l))
@@ -236,6 +235,7 @@ def sgbm_disparity(
     right_gray: jax.Array,
     cfg: SGBMConfig = SGBMConfig(),
     keep_volume: bool = False,
+    backend: str = "scan",
 ) -> SGBMOutput:
     """Full SGBM disparity for the LEFT view, OpenCV parameter surface.
 
@@ -252,7 +252,16 @@ def sgbm_disparity(
     # per-row x range starts there, so path scans must not carry state in
     # from that margin. Slice it off before aggregation, pad back after.
     margin = min(cfg.min_disp + nd, w_full)
-    s = aggregate_8path(c[:, margin:], float(p1), float(p2), cfg.num_paths)
+    if backend == "pallas":
+        # VMEM-resident-carry kernels (ops/sgbm_pallas.py): the intended
+        # fast path on real TPU hardware; "scan" is the portable default.
+        from .sgbm_pallas import aggregate_8path_pallas
+
+        s = aggregate_8path_pallas(
+            c[:, margin:], float(p1), float(p2), cfg.num_paths
+        )
+    else:
+        s = aggregate_8path(c[:, margin:], float(p1), float(p2), cfg.num_paths)
     w = w_full - margin
 
     # WTA + neighbor costs + uniqueness in mask-reduction form: lane-dim

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["aggregate_8path_pallas"]
 
-_BIG = jnp.float32(1e9)
+_BIG = 1e9  # python float: becomes a compile-time constant inside kernels
 
 
 def _dp_step(c, lp, p1, p2):
@@ -60,26 +60,30 @@ def _row_kernel(ndir, p1, p2, c_ref, s_in_ref, s_out_ref, carry):
         lp = carry[k]
         if k == 1:  # predecessor one column left: shift down along W, zero row 0
             lp = jnp.where(col == 0, 0.0, pltpu.roll(lp, 1, axis=0))
-        elif k == 2:  # predecessor one column right
-            lp = jnp.where(col == w - 1, 0.0, pltpu.roll(lp, -1, axis=0))
+        elif k == 2:  # predecessor one column right (roll by w-1 == -1)
+            lp = jnp.where(col == w - 1, 0.0, pltpu.roll(lp, w - 1, axis=0))
         l = _dp_step(c, lp, p1, p2)
         carry[k] = l
         total = total + l
     s_out_ref[0] = total
 
 
-def _col_kernel(p1, p2, c_ref, s_in_ref, s_out_ref, carry):
-    """Grid over columns; carry (H, D) in VMEM."""
+def _col_kernel(p1, p2, cb, reverse, c_ref, s_in_ref, s_out_ref, carry):
+    """Grid over column blocks of `cb`; carry (H, D) in VMEM; the block's
+    columns are processed sequentially inside (keeps the last-two block
+    dims at (cb >= 8, D) to satisfy TPU tiling)."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
 
-    c = c_ref[:, 0]  # (H, D)
-    l = _dp_step(c, carry[...], p1, p2)
-    carry[...] = l
-    s_out_ref[:, 0] = s_in_ref[:, 0] + l
+    order = range(cb - 1, -1, -1) if reverse else range(cb)
+    for k in order:
+        c = c_ref[:, k]  # (H, D)
+        l = _dp_step(c, carry[...], p1, p2)
+        carry[...] = l
+        s_out_ref[:, k] = s_in_ref[:, k] + l
 
 
 def _row_pass(cost, s, p1, p2, ndir, reverse, interpret):
@@ -100,17 +104,19 @@ def _row_pass(cost, s, p1, p2, ndir, reverse, interpret):
     )(cost, s)
 
 
-def _col_pass(cost, s, p1, p2, reverse, interpret):
+def _col_pass(cost, s, p1, p2, reverse, interpret, cb=8):
     h, w, d = cost.shape
-    idx = (lambda j: (0, w - 1 - j, 0)) if reverse else (lambda j: (0, j, 0))
+    assert w % cb == 0, (w, cb)
+    nb = w // cb
+    idx = (lambda j: (0, nb - 1 - j, 0)) if reverse else (lambda j: (0, j, 0))
     return pl.pallas_call(
-        functools.partial(_col_kernel, p1, p2),
-        grid=(w,),
+        functools.partial(_col_kernel, p1, p2, cb, reverse),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, cb, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, cb, d), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((h, 1, d), idx, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((h, cb, d), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w, d), cost.dtype),
         scratch_shapes=[pltpu.VMEM((h, d), cost.dtype)],
         input_output_aliases={1: 0},
@@ -128,8 +134,8 @@ def aggregate_8path_pallas(
     """Drop-in equivalent of ops.sgbm.aggregate_8path with VMEM-resident
     carries. Set interpret=True off-TPU (tests)."""
     ndir = 3 if num_paths == 8 else 1
-    p1 = jnp.float32(p1)
-    p2 = jnp.float32(p2)
+    p1 = float(p1)  # python floats: compile-time constants in the kernels
+    p2 = float(p2)
     s = jnp.zeros_like(cost)
     s = _row_pass(cost, s, p1, p2, ndir, False, interpret)  # S, SE, SW
     s = _row_pass(cost, s, p1, p2, ndir, True, interpret)  # N, NE, NW
