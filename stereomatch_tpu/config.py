@@ -51,6 +51,11 @@ class SGBMConfig:
     speckle_range: int = 32
     disp12_max_diff: int = 1
     num_paths: int = 8  # MODE_HH
+    # "float32" matches OpenCV's int16 arithmetic exactly (integer-valued
+    # costs); "bfloat16" halves cost/aggregation HBM (needed for
+    # 2048x1536x256-scale volumes) at the price of tie-level rounding in
+    # weak-texture pixels.
+    cost_dtype: str = "float32"
 
     def resolved_p1p2(self) -> tuple[int, int]:
         bs2 = self.block_size * self.block_size

@@ -132,6 +132,8 @@ def sgbm_cost_volume(
         pad = jnp.pad(c, ((r, r), (r, r), (0, 0)), mode="edge")
         s = box_filter_sum(box_filter_sum(pad, r, 0), r, 1)
         c = s[r:-r, r:-r]
+    if cfg.cost_dtype != "float32":
+        c = c.astype(cfg.cost_dtype)
     return c
 
 
@@ -286,7 +288,9 @@ def sgbm_disparity(
     else:
         unique_ok = jnp.ones((h, w), bool)
 
-    # quadratic subpixel (OpenCV: denom clamped to >= 1)
+    # quadratic subpixel (OpenCV: denom clamped to >= 1); fp32 regardless
+    # of cost_dtype so the offset keeps subpixel resolution
+    pre, nxt, min_s = (x.astype(jnp.float32) for x in (pre, nxt, min_s))
     denom = jnp.maximum(pre + nxt - 2.0 * min_s, 1.0)
     offset = (pre - nxt) * 0.5 / denom
     interior = (best > 0) & (best < nd - 1)

@@ -20,6 +20,7 @@ from .config import (
 )
 
 __all__ = [
+    "check_stereo_pair",
     "costvolume_pipeline",
     "census_pipeline",
     "sgbm_pipeline",
@@ -27,6 +28,16 @@ __all__ = [
     "patchmatch_pipeline",
     "to_bgr255",
 ]
+
+
+def check_stereo_pair(left, right) -> None:
+    """Validate a stereo pair (ref: StereoMatching::checkStereoPairValid,
+    src/StereoMatching.cpp:4-26): both present, same spatial shape."""
+    l, r = np.asarray(left), np.asarray(right)
+    if l.size == 0 or r.size == 0:
+        raise ValueError("stereo pair image data empty")
+    if l.shape[:2] != r.shape[:2]:
+        raise ValueError(f"stereo pair size mismatch: {l.shape} vs {r.shape}")
 
 
 def to_bgr255(img) -> jnp.ndarray:
@@ -60,6 +71,7 @@ def costvolume_pipeline(
     as numpy float32."""
     from .models import cost_volume_stereo
 
+    check_stereo_pair(left, right)
     out = cost_volume_stereo(to_bgr255(left), to_bgr255(right), cfg, denoise, lr_check)
     return np.asarray(out.left_disp), np.asarray(out.right_disp)
 
@@ -70,6 +82,7 @@ def census_pipeline(left, right, cfg: CensusConfig = CensusConfig()):
     Inputs gray/RGB in [0,255]; census normalizes to [0,1] internally."""
     from .ops.cost import census_stereo
 
+    check_stereo_pair(left, right)
     l = _gray255(left) * (1.0 / 255.0)
     r = _gray255(right) * (1.0 / 255.0)
     return np.asarray(census_stereo(l, r, cfg))
@@ -93,6 +106,7 @@ def mst_pipeline(
     from .models.mst import mst_stereo
 
     cfg = cfg or MSTConfig()
+    check_stereo_pair(left, right)
     bgr_l = to_bgr255(left)
     bgr_r = to_bgr255(right)
     if left_vol is None or right_vol is None:
@@ -114,6 +128,7 @@ def patchmatch_pipeline(left, right, cfg=None, seed: int = 0, postprocess: bool 
     from .models.patchmatch import patchmatch_pipeline as run_pm
 
     cfg = cfg or PatchMatchConfig()
+    check_stereo_pair(left, right)
     out = run_pm(
         jax.random.PRNGKey(seed), to_bgr255(left), to_bgr255(right), cfg,
         postprocess=postprocess,
@@ -127,6 +142,7 @@ def sgbm_pipeline(left, right, cfg: SGBMConfig = SGBMConfig(), speckle: bool = T
     Returns float32 disparity; invalid pixels = cfg.min_disp - 1."""
     from .ops.sgbm import sgbm_disparity
 
+    check_stereo_pair(left, right)
     out = sgbm_disparity(_gray255(left), _gray255(right), cfg)
     disp = np.asarray(out.disparity)
     if speckle and cfg.speckle_window_size > 0:

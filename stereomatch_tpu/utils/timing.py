@@ -15,7 +15,19 @@ from dataclasses import dataclass, field
 
 import jax
 
-__all__ = ["StageTimer", "timing_stat"]
+__all__ = ["StageTimer", "timing_stat", "profile_trace"]
+
+
+@contextmanager
+def profile_trace(log_dir: str):
+    """Wrap a region in a jax.profiler trace (the structured replacement
+    for the reference's ad-hoc stage prints; view with TensorBoard or
+    xprof). Usage: `with profile_trace("/tmp/trace"): run_pipeline()`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def timing_stat(samples) -> tuple[float, float]:

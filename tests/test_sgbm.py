@@ -175,6 +175,24 @@ def test_sgbm_vs_opencv_flir():
     assert (rv == mv).mean() > 0.85
 
 
+def test_sgbm_bf16_mode_close_to_f32():
+    """cost_dtype="bfloat16" (memory fast-mode for production-scale
+    volumes) must stay within tie-level drift of the exact f32 path."""
+    rng = np.random.default_rng(7)
+    h, w = 48, 100
+    base = (rng.random((h, w + 8)) * 255).astype(np.float32)
+    left, right = base[:, :w], base[:, 5 : 5 + w]
+    cfg32 = SGBMConfig(min_disp=0, num_disp=16, block_size=5)
+    cfg16 = SGBMConfig(min_disp=0, num_disp=16, block_size=5, cost_dtype="bfloat16")
+    a = sgbm_disparity(jnp.asarray(left), jnp.asarray(right), cfg32)
+    b = sgbm_disparity(jnp.asarray(left), jnp.asarray(right), cfg16)
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    assert (va == vb).mean() > 0.97
+    both = va & vb
+    diff = np.abs(np.asarray(a.disparity) - np.asarray(b.disparity))[both]
+    assert (diff > 1.0).mean() < 0.02
+
+
 def test_filter_speckles_vs_opencv(rng):
     h, w = 40, 50
     disp = (rng.integers(0, 3, (h, w)) * 5).astype(np.float32)
