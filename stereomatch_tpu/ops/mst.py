@@ -222,9 +222,11 @@ def label_cost(
     in_range = (lo >= 0) & (hi < max_disp)
     lo_c = jnp.clip(lo, 0, max_disp - 1)
     hi_c = jnp.clip(hi, 0, max_disp - 1)
-    vol_nodes = cost_vol.reshape(-1, cost_vol.shape[-1])[pix]  # (N, D)
-    c_lo = jnp.take_along_axis(vol_nodes, lo_c[..., None], axis=-1)[..., 0]
-    c_hi = jnp.take_along_axis(vol_nodes, hi_c[..., None], axis=-1)[..., 0]
+    vol_flat = cost_vol.reshape(-1, cost_vol.shape[-1])  # (HW, D)
+    # advanced indexing broadcasts pix (N,) against (..., N) d-indices,
+    # so batched candidate axes ride along for free
+    c_lo = vol_flat[pix, lo_c]
+    c_hi = vol_flat[pix, hi_c]
     frac = d - d_floor
     return jnp.where(in_range, (1.0 - frac) * c_lo + frac * c_hi, 0.5)
 
@@ -316,32 +318,18 @@ def mst_pms_optimize(
     tsize = (f.tree_start[1:] - f.tree_start[:-1]).astype(jnp.float32)
     nb_count = (f.adj_start[1:] - f.adj_start[:-1]).astype(jnp.float32)
 
-    def one_candidate(labels, cand_a, cand_b, cand_c, state):
-        """Evaluate per-tree candidate labels; update per-pixel best."""
-        a, b, c, mc = state
-        # broadcast per-tree candidate to nodes
-        na = cand_a[f.tree_id]
-        nb = cand_b[f.tree_id]
-        nc = cand_c[f.tree_id]
-        cn = label_cost(labels, na, nb, nc, f, max_disp)
-        agg = tree_filter(cn, f, cfg.carry_iters)
-        better = agg < mc
-        return (
-            jnp.where(better, na, a),
-            jnp.where(better, nb, b),
-            jnp.where(better, nc, c),
-            jnp.where(better, agg, mc),
-        )
-
     def iteration(carry, key_i):
+        """All of this iteration's candidates (neighbor-tree samples +
+        annealed refinements) are evaluated in ONE batched tree_filter pass
+        (K, N): the Euler prefix sums amortize perfectly over the candidate
+        axis, unlike the reference's candidate-at-a-time tree walks."""
         a, b, c, mc = carry
         ka, kb, kc = jax.random.split(key_i, 3)
 
-        # ---- neighbor-tree label candidates ----
-        def nb_candidate(j, state):
+        # ---- neighbor-tree label candidates (K_n, tmax) ----
+        def nb_candidate(j):
             kj = jax.random.fold_in(ka, j)
             k1, k2 = jax.random.split(kj)
-            # pick a random neighbor tree of each tree
             u = jax.random.uniform(k1, (tmax,))
             nb_idx = f.adj_start[:-1] + jnp.minimum(
                 (u * jnp.maximum(nb_count, 1.0)).astype(jnp.int32),
@@ -351,7 +339,6 @@ def mst_pms_optimize(
                 nb_count > 0, f.adj_list[jnp.clip(nb_idx, 0, f.adj_list.shape[0] - 1)],
                 jnp.arange(tmax),
             )
-            # random pixel (node) of the neighbor tree
             v = jax.random.uniform(k2, (tmax,))
             nts = f.tree_start[nb_tree]
             ntc = (f.tree_start[nb_tree + 1] - nts).astype(jnp.float32)
@@ -359,12 +346,11 @@ def mst_pms_optimize(
                 (v * ntc).astype(jnp.int32),
                 jnp.maximum(ntc - 1.0, 0.0).astype(jnp.int32),
             )
-            return one_candidate(cost_vol, a[node], b[node], c[node], state)
+            return a[node], b[node], c[node]
 
-        state = (a, b, c, mc)
-        state = jax.lax.fori_loop(0, max_neighbors, nb_candidate, state)
+        cands = [nb_candidate(j) for j in range(max_neighbors)]
 
-        # ---- annealed random refinement around a random node's label ----
+        # ---- annealed refinements around a random node's label ----
         u = jax.random.uniform(kb, (tmax,))
         base_node = f.tree_start[:-1] + jnp.minimum(
             (u * jnp.maximum(tsize, 1.0)).astype(jnp.int32),
@@ -378,7 +364,7 @@ def mst_pms_optimize(
         ny = -pb * nz
         d0 = px * pa + py * pb + pc
 
-        def refine(j, state):
+        for j in range(n_refine):
             kj = jax.random.fold_in(kc, j)
             r = jax.random.uniform(kj, (4, tmax), minval=-1.0, maxval=1.0)
             rd = d0 + r[0] * deltas_d[j]
@@ -387,20 +373,42 @@ def mst_pms_optimize(
             rnz = nz + r[3] * deltas_n[j]
             inv = 1.0 / jnp.sqrt(rnx * rnx + rny * rny + rnz * rnz)
             rnx, rny = rnx * inv, rny * inv
-            rnz = jnp.abs(rnz * inv)
-            rnz = jnp.maximum(rnz, 1e-8)
+            rnz = jnp.maximum(jnp.abs(rnz * inv), 1e-8)
             ca = -rnx / rnz
             cb = -rny / rnz
             cc = (rnx * px + rny * py + rnz * rd) / rnz
             ok = (rd >= 0.0) & (rd <= max_disp)
-            # out-of-range draws keep the current label (no-op candidate)
-            a_, b_, c_, mc_ = state
-            ca = jnp.where(ok, ca, a_[base_node])
-            cb = jnp.where(ok, cb, b_[base_node])
-            cc = jnp.where(ok, cc, c_[base_node])
-            return one_candidate(cost_vol, ca, cb, cc, state)
+            # out-of-range draws fall back to the base label (no-op)
+            cands.append(
+                (
+                    jnp.where(ok, ca, pa),
+                    jnp.where(ok, cb, pb),
+                    jnp.where(ok, cc, pc),
+                )
+            )
 
-        state = jax.lax.fori_loop(0, n_refine, refine, state)
+        # ---- one batched evaluation over all K candidates ----
+        ka_ = jnp.stack([t[0] for t in cands])  # (K, tmax)
+        kb_ = jnp.stack([t[1] for t in cands])
+        kc_ = jnp.stack([t[2] for t in cands])
+        na = ka_[:, f.tree_id]  # (K, N)
+        nb = kb_[:, f.tree_id]
+        nc = kc_[:, f.tree_id]
+        cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
+        agg = tree_filter(cn, f, cfg.carry_iters)  # (K, N)
+
+        # per-pixel best over {current, candidates} (reference updates per
+        # PIXEL, Stereo3DMST.cpp:173-185)
+        best_k = jnp.argmin(agg, axis=0)
+        best_agg = jnp.min(agg, axis=0)
+        take = lambda arr: jnp.take_along_axis(arr, best_k[None], axis=0)[0]  # noqa: E731
+        better = best_agg < mc
+        state = (
+            jnp.where(better, take(na), a),
+            jnp.where(better, take(nb), b),
+            jnp.where(better, take(nc), c),
+            jnp.where(better, best_agg, mc),
+        )
         return state, None
 
     keys = jax.random.split(key, iters)
