@@ -107,31 +107,42 @@ def bt_cost_volume(
     return jnp.minimum(c0, c1)
 
 
-def sgbm_cost_volume(
-    left_gray: jax.Array, right_gray: jax.Array, cfg: SGBMConfig
-) -> jax.Array:
-    """OpenCV-style SGBM matching cost: BT on the clipped x-Sobel image plus
+def _pixel_cost(left_gray, right_gray, cfg):
+    """Per-pixel SGBM matching cost: BT on the clipped x-Sobel image plus
     BT on raw intensity right-shifted by 2 (OpenCV calcPixelCostBT's
-    diff_scale), block-summed over blockSize x blockSize."""
-    left_gray = left_gray.astype(jnp.float32)
-    right_gray = right_gray.astype(jnp.float32)
+    diff_scale)."""
     sl = xsobel_clipped(left_gray, cfg.prefilter_cap)
     sr = xsobel_clipped(right_gray, cfg.prefilter_cap)
     c = bt_cost_volume(sl, sr, cfg.min_disp, cfg.num_disp)
     # intensity term: integer >>2 (truncation) per pixel, like OpenCV
-    c = c + jnp.floor(
+    return c + jnp.floor(
         bt_cost_volume(left_gray, right_gray, cfg.min_disp, cfg.num_disp) * 0.25
     )
 
-    r = cfg.block_size // 2
-    if r > 0:
-        from .filters import box_filter_sum
 
-        # OpenCV's block sum clamps the window to the image (edge-replicated
-        # rows/cols at borders); use edge padding for the same effect.
-        pad = jnp.pad(c, ((r, r), (r, r), (0, 0)), mode="edge")
-        s = box_filter_sum(box_filter_sum(pad, r, 0), r, 1)
-        c = s[r:-r, r:-r]
+def _block_sum(c, block_size):
+    """Block sum with the window clamped to the image (edge-replicated cost
+    at borders, OpenCV's convention)."""
+    r = block_size // 2
+    if r == 0:
+        return c
+    from .filters import box_filter_sum
+
+    pad = jnp.pad(c, ((r, r), (r, r), (0, 0)), mode="edge")
+    s = box_filter_sum(box_filter_sum(pad, r, 0), r, 1)
+    return s[r:-r, r:-r]
+
+
+def sgbm_cost_volume(
+    left_gray: jax.Array, right_gray: jax.Array, cfg: SGBMConfig
+) -> jax.Array:
+    """OpenCV-style SGBM matching cost (pixel BT blend, block-summed)."""
+    c = _block_sum(
+        _pixel_cost(
+            left_gray.astype(jnp.float32), right_gray.astype(jnp.float32), cfg
+        ),
+        cfg.block_size,
+    )
     if cfg.cost_dtype != "float32":
         c = c.astype(cfg.cost_dtype)
     return c
@@ -156,56 +167,48 @@ def _scan_block(n: int, want: int = 4) -> int:
     return 1
 
 
-def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
-    """Sum of path costs Lr over 8 (or 4: N,S,E,W) directions.
+def _shift_carry(l, k):
+    if k == 0:
+        return l
+    if k == 1:  # predecessor one column to the left
+        return jnp.concatenate([jnp.zeros_like(l[:1]), l[:-1]], axis=0)
+    return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
 
-    cost: (H, W, D) -> (H, W, D). Two row-wise scans carry the {S,SE,SW}
-    (resp. {N,NE,NW}) direction states; the diagonal predecessors are the
-    same recurrence with the carry shifted one column (border refill = 0,
-    which makes Lr = C there, OpenCV's border convention). Two column-wise
-    scans handle E and W. Scans are BLOCKED: each lax.scan step consumes a
-    block of rows/cols with the sequential recurrence unrolled inside, so
-    per-step overhead amortizes over the block while the carry stays
-    on-chip (identical math, ~K x fewer scan steps).
-    """
+
+def _row_scan_dirs(c_rows, init_carry, p1, p2, ndir):
+    """Scan rows ascending with an (ndir, W, D) carry (directions: vertical,
+    diagonal-from-left, diagonal-from-right). Blocked: each lax.scan step
+    consumes a block of rows with the recurrence unrolled inside, so
+    per-step overhead amortizes while the carry stays on-chip.
+    Returns (per-row direction-summed Lr (H, W, D), final carry)."""
+    h, w, d = c_rows.shape
+    kb = _scan_block(h)
+
+    def step(carry, c_block):  # c_block (kb, W, D)
+        outs = []
+        for j in range(kb):
+            new = []
+            total = None
+            for k in range(ndir):
+                lp = _shift_carry(carry[k], k)
+                mp = jnp.min(lp, axis=-1, keepdims=True)
+                l = c_block[j] + _dp_candidates(lp, mp, p1, p2)
+                new.append(l)
+                total = l if total is None else total + l
+            carry = jnp.stack(new)
+            outs.append(total)
+        return carry, jnp.stack(outs)
+
+    final, ys = jax.lax.scan(step, init_carry, c_rows.reshape(h // kb, kb, w, d))
+    return ys.reshape(h, w, d), final
+
+
+def _col_scans_ew(cost, p1, p2):
+    """E and W direction sums (full-width column scans; per-row local)."""
     h, w, d = cost.shape
-    diag = num_paths == 8
-    ndir = 3 if diag else 1
-
-    def shift_carry(l, k):
-        if k == 0:
-            return l
-        if k == 1:  # predecessor one column to the left
-            return jnp.concatenate([jnp.zeros_like(l[:1]), l[:-1]], axis=0)
-        return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
-
-    def row_scan(c_rows):
-        """c_rows: (H, W, D) scanned along axis 0; carry (ndir, W, D)."""
-        kb = _scan_block(h)
-
-        def step(carry, c_block):  # c_block (kb, W, D)
-            outs = []
-            for j in range(kb):
-                new = []
-                total = None
-                for k in range(ndir):
-                    lp = shift_carry(carry[k], k)
-                    mp = jnp.min(lp, axis=-1, keepdims=True)
-                    l = c_block[j] + _dp_candidates(lp, mp, p1, p2)
-                    new.append(l)
-                    total = l if total is None else total + l
-                carry = jnp.stack(new)
-                outs.append(total)
-            return carry, jnp.stack(outs)
-
-        init = jnp.zeros((ndir, w, d), cost.dtype)
-        _, ys = jax.lax.scan(step, init, c_rows.reshape(h // kb, kb, w, d))
-        return ys.reshape(h, w, d)  # summed over directions
+    kb = _scan_block(w)
 
     def col_scan(c_cols):
-        """c_cols: (W, H, D); carry (H, D)."""
-        kb = _scan_block(w)
-
         def step(lp, c_block):  # (kb, H, D)
             outs = []
             for j in range(kb):
@@ -218,12 +221,27 @@ def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -
         _, ys = jax.lax.scan(step, init, c_cols.reshape(w // kb, kb, h, d))
         return ys.reshape(w, h, d)
 
-    s = row_scan(cost)
-    s = s + jnp.flip(row_scan(jnp.flip(cost, axis=0)), axis=0)
     ct = jnp.swapaxes(cost, 0, 1)
-    s = s + jnp.swapaxes(col_scan(ct), 0, 1)
+    s = jnp.swapaxes(col_scan(ct), 0, 1)
     s = s + jnp.swapaxes(jnp.flip(col_scan(jnp.flip(ct, axis=0)), axis=0), 0, 1)
     return s
+
+
+def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
+    """Sum of path costs Lr over 8 (or 4: N,S,E,W) directions.
+
+    cost: (H, W, D) -> (H, W, D). Two row-wise scans carry the {S,SE,SW}
+    (resp. {N,NE,NW}) direction states; the diagonal predecessors are the
+    same recurrence with the carry shifted one column (border refill = 0,
+    which makes Lr = C there, OpenCV's border convention). Two column-wise
+    scans handle E and W.
+    """
+    ndir = 3 if num_paths == 8 else 1
+    init = jnp.zeros((ndir,) + cost.shape[1:], cost.dtype)
+    s, _ = _row_scan_dirs(cost, init, p1, p2, ndir)
+    up, _ = _row_scan_dirs(jnp.flip(cost, axis=0), init, p1, p2, ndir)
+    s = s + jnp.flip(up, axis=0)
+    return s + _col_scans_ew(cost, p1, p2)
 
 
 class SGBMOutput(NamedTuple):
@@ -266,6 +284,16 @@ def sgbm_disparity(
         s = aggregate_8path(c[:, margin:], float(p1), float(p2), cfg.num_paths)
     w = w_full - margin
 
+    out, valid = _select_from_aggregated(s, cfg, margin, w_full)
+    agg = s if keep_volume else jnp.zeros((0,), s.dtype)
+    return SGBMOutput(out, valid, agg)
+
+
+def _select_from_aggregated(s, cfg, margin, w_full):
+    """WTA + uniqueness + subpixel + disp12 from an aggregated volume slice
+    (rows are independent, so this works on full images and row bands
+    alike). Returns (disparity, valid) padded back to w_full columns."""
+    h, w, nd = s.shape
     # WTA + neighbor costs + uniqueness in mask-reduction form: lane-dim
     # take_along_axis gathers are slow on TPU, while several reductions
     # over the same volume fuse into a couple of memory passes.
@@ -330,5 +358,90 @@ def sgbm_disparity(
     # pad the never-evaluated left margin back as INVALID
     out = jnp.pad(out, ((0, 0), (margin, 0)), constant_values=invalid_val)
     valid = jnp.pad(valid, ((0, 0), (margin, 0)), constant_values=False)
-    agg = s if keep_volume else jnp.zeros((0,), s.dtype)
-    return SGBMOutput(out.astype(jnp.float32), valid, agg)
+    return out.astype(jnp.float32), valid
+
+
+def sgbm_disparity_banded(
+    left_gray: jax.Array,
+    right_gray: jax.Array,
+    cfg: SGBMConfig = SGBMConfig(),
+    band_rows: int = 128,
+) -> SGBMOutput:
+    """SGBM without ever materializing the full aggregated volume: rows are
+    processed in bands of `band_rows`, streaming the DP carries between
+    bands — EXACTLY the same result as sgbm_disparity, with peak memory
+    ~ band volumes instead of several full H x W x D volumes. This is the
+    production driver for 2048x1536x256-scale inputs (SURVEY.md §7 "hard
+    parts" #6).
+
+    Two sweeps: an upward sweep records the {N, NE, NW} carry entering each
+    band from below; the downward sweep then finishes each band (down
+    directions from the running carry, up directions from the recorded one,
+    E/W full-width scans inside the band — rows are independent for those)
+    and immediately reduces it to disparity/validity. Cost per band is
+    recomputed from a 3-row-padded image strip (Sobel 1 + block 2), so
+    band boundaries are seamless.
+    """
+    p1, p2 = cfg.resolved_p1p2()
+    p1, p2 = float(p1), float(p2)
+    ndir = 3 if cfg.num_paths == 8 else 1
+    left_gray = left_gray.astype(jnp.float32)
+    right_gray = right_gray.astype(jnp.float32)
+    h, w_full = left_gray.shape
+    nd = cfg.num_disp
+    margin = min(cfg.min_disp + nd, w_full)
+    w = w_full - margin
+
+    pad_h = (-h) % band_rows
+    ctx = 3  # sobel (1) + block radius (2)
+    lp = jnp.pad(left_gray, ((ctx, ctx + pad_h), (0, 0)), mode="edge")
+    rp = jnp.pad(right_gray, ((ctx, ctx + pad_h), (0, 0)), mode="edge")
+    hb = h + pad_h
+    nbands = hb // band_rows
+
+    def band_cost(b):
+        strip_l = jax.lax.dynamic_slice_in_dim(lp, b * band_rows, band_rows + 2 * ctx, 0)
+        strip_r = jax.lax.dynamic_slice_in_dim(rp, b * band_rows, band_rows + 2 * ctx, 0)
+        cpix = _pixel_cost(strip_l, strip_r, cfg)
+        # context rows outside the real image must carry the EDGE row's
+        # pixel cost (the full-image block sum edge-replicates COST rows,
+        # not image rows — sobel of replicated image rows differs)
+        g = b * band_rows - ctx + jnp.arange(band_rows + 2 * ctx)
+        src = jnp.clip(g, 0, h - 1) - (b * band_rows - ctx)
+        cpix = cpix[jnp.clip(src, 0, band_rows + 2 * ctx - 1)]
+        c = _block_sum(cpix, cfg.block_size)
+        if cfg.cost_dtype != "float32":
+            c = c.astype(cfg.cost_dtype)
+        c = c[ctx : ctx + band_rows, margin:]
+        # rows beyond the real image get ZERO cost: the DP recurrence maps a
+        # zero carry through zero-cost rows to a zero carry, so the padded
+        # remainder band is transparent (matches the unpadded zero-carry
+        # border initialization exactly)
+        grow = b * band_rows + jnp.arange(band_rows)
+        return jnp.where((grow < h)[:, None, None], c, 0.0)
+
+    # --- upward sweep: record the up-carry ENTERING each band (from the
+    # band below it) ---
+    def up_step(carry, b):
+        c_b = jnp.flip(band_cost(nbands - 1 - b), axis=0)
+        _, new_carry = _row_scan_dirs(c_b, carry, p1, p2, ndir)
+        return new_carry, carry
+
+    carry0 = jnp.zeros((ndir, w, nd), band_cost(0).dtype)
+    _, up_in = jax.lax.scan(up_step, carry0, jnp.arange(nbands))
+    up_in = jnp.flip(up_in, axis=0)  # up_in[b] = carry entering band b
+
+    # --- downward sweep: finish each band and reduce it immediately ---
+    def down_step(carry, b):
+        c_b = band_cost(b)
+        s, new_carry = _row_scan_dirs(c_b, carry, p1, p2, ndir)
+        up_ys, _ = _row_scan_dirs(jnp.flip(c_b, axis=0), up_in[b], p1, p2, ndir)
+        s = s + jnp.flip(up_ys, axis=0)
+        s = s + _col_scans_ew(c_b, p1, p2)
+        out_b, valid_b = _select_from_aggregated(s, cfg, margin, w_full)
+        return new_carry, (out_b, valid_b)
+
+    _, (out, valid) = jax.lax.scan(down_step, carry0, jnp.arange(nbands))
+    out = out.reshape(hb, w_full)[:h]
+    valid = valid.reshape(hb, w_full)[:h]
+    return SGBMOutput(out, valid, jnp.zeros((0,), jnp.float32))
