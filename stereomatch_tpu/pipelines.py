@@ -140,10 +140,16 @@ def sgbm_pipeline(left, right, cfg: SGBMConfig = SGBMConfig(), speckle: bool = T
     """8-path SGBM left-view disparity with the OpenCV parameter surface
     (ref: StereoMatching::SGBMStereo, src/StereoMatching.cpp:148-193).
     Returns float32 disparity; invalid pixels = cfg.min_disp - 1."""
-    from .ops.sgbm import sgbm_disparity
+    from .ops.sgbm import sgbm_disparity, sgbm_disparity_banded
 
     check_stereo_pair(left, right)
-    out = sgbm_disparity(_gray255(left), _gray255(right), cfg)
+    gl, gr = _gray255(left), _gray255(right)
+    # band-stream when the aggregated volume would be heavy (> ~2 GB f32):
+    # identical results, bounded memory
+    if gl.shape[0] * gl.shape[1] * cfg.num_disp * 4 > 2 << 30:
+        out = sgbm_disparity_banded(gl, gr, cfg)
+    else:
+        out = sgbm_disparity(gl, gr, cfg)
     disp = np.asarray(out.disparity)
     if speckle and cfg.speckle_window_size > 0:
         from .ops.speckle import filter_speckles
