@@ -36,3 +36,4 @@ from .tgv import diffusion_tensor, tgv2_refine  # noqa: F401
 from .nltgv import nl2tgv_refine  # noqa: F401
 from .patchmatch import patchmatch_stereo, plane_fill_occluded  # noqa: F401
 from .mst import forest_arrays, mst_pms_optimize, tree_filter  # noqa: F401
+from .segmentation import boruvka_segment, segment_image  # noqa: F401
