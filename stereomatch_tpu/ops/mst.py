@@ -280,6 +280,7 @@ def mst_pms_optimize(
     cfg: MSTConfig = MSTConfig(),
     max_neighbors: int = 8,
     iterations: int | None = None,
+    init_state=None,
 ):
     """The MST_PMS loop (ref: src/Stereo3DMST.cpp:546-629, 100 iterations at
     :858-889) for ALL trees in parallel.
@@ -312,8 +313,13 @@ def mst_pms_optimize(
     deltas_n = jnp.asarray([m for _, m in deltas], jnp.float32)
 
     key, k0 = jax.random.split(key)
-    a0, b0, c0 = init_labels(k0, f, max_disp)
-    min0 = jnp.full((n,), jnp.inf, jnp.float32)
+    if init_state is None:
+        a0, b0, c0 = init_labels(k0, f, max_disp)
+        min0 = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        # resume from a checkpointed (a, b, c, min_cost) node-order state
+        # (utils/checkpoint.py) — the reference has no equivalent (SURVEY §5)
+        a0, b0, c0, min0 = (jnp.asarray(x) for x in init_state)
 
     tsize = (f.tree_start[1:] - f.tree_start[:-1]).astype(jnp.float32)
     nb_count = (f.adj_start[1:] - f.adj_start[:-1]).astype(jnp.float32)

@@ -217,7 +217,9 @@ def _col_scans_ew(cost, p1, p2):
                 outs.append(lp)
             return lp, jnp.stack(outs)
 
-        init = jnp.zeros((h, d), cost.dtype)
+        # derive the zero carry from the input so its sharding "varying"
+        # status matches under shard_map (scan requires carry-in == carry-out)
+        init = jnp.zeros((h, d), cost.dtype) + 0 * cost[0, 0, 0]
         _, ys = jax.lax.scan(step, init, c_cols.reshape(w // kb, kb, h, d))
         return ys.reshape(w, h, d)
 
@@ -237,7 +239,8 @@ def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -
     scans handle E and W.
     """
     ndir = 3 if num_paths == 8 else 1
-    init = jnp.zeros((ndir,) + cost.shape[1:], cost.dtype)
+    # 0*cost[...] keeps the carry's shard_map varying-axes in sync with cost
+    init = jnp.zeros((ndir,) + cost.shape[1:], cost.dtype) + 0 * cost[0, 0, 0]
     s, _ = _row_scan_dirs(cost, init, p1, p2, ndir)
     up, _ = _row_scan_dirs(jnp.flip(cost, axis=0), init, p1, p2, ndir)
     s = s + jnp.flip(up, axis=0)

@@ -14,4 +14,5 @@ dual-stream L/R) map onto a `jax.sharding.Mesh` here:
 
 from .mesh import make_mesh, tile_rows_sharding  # noqa: F401
 from .halo import halo_exchange_rows  # noqa: F401
-from .tiled import tiled_cost_volume_stereo  # noqa: F401
+from .tiled import tiled_cost_volume_batch, tiled_cost_volume_stereo  # noqa: F401
+from .sgbm_mesh import sgbm_batch_mesh  # noqa: F401

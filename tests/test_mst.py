@@ -207,6 +207,62 @@ def test_label_cost_lerp(rng):
         np.testing.assert_allclose(got[node], expect, rtol=1e-5, atol=1e-6)
 
 
+def test_mst_optimize_recovers_slanted_plane(rng):
+    """Cost volume whose minimum follows a slanted plane d = 0.15x + 3:
+    the plane-label optimizer must recover the slope, not just a
+    fronto-parallel fit."""
+    import jax
+
+    h, w, d = 24, 40, 12
+    img = np.full((h, w, 3), 128, np.float32)
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 5000.0, 200, gamma=1 / 12.0, delta=4.0)
+    fa = forest_arrays(f)
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    d_true = 0.15 * xs + 3.0 + np.zeros((h, 1), np.float32)
+    ds = np.arange(d, dtype=np.float32)[None, None, :]
+    vol = np.minimum(np.abs(ds - d_true[..., None]) * 0.2, 0.5).astype(np.float32)
+    cfg = MSTConfig(max_disp=d, iterations=80)
+    a, b, c, _ = mst_pms_optimize(
+        jax.random.PRNGKey(2), jnp.asarray(vol), fa, cfg, max_neighbors=2,
+        iterations=80,
+    )
+    disp = np.asarray(labels_to_disparity(a, b, c, fa, d)) * (d - 1.0)
+    err = np.abs(disp - d_true)
+    assert err.mean() < 0.5, err.mean()
+
+
+def test_mst_optimize_resume_checkpoint(rng):
+    """Optimization resumed from a checkpoint must not regress min_cost and
+    keeps improving (utils/checkpoint.py round-trip)."""
+    import jax
+
+    from stereomatch_tpu.utils.checkpoint import load_state, save_state
+
+    h, w, d = 16, 20, 8
+    img = np.full((h, w, 3), 128, np.float32)
+    wr, wd = color_edge_weights(img)
+    fa = forest_arrays(build_forest(wr, wd, 5000.0, 200, gamma=1 / 12.0, delta=4.0))
+    vol = np.full((h, w, d), 0.5, np.float32)
+    vol[:, :, 4] = 0.0
+    cfg = MSTConfig(max_disp=d, iterations=10)
+    a, b, c, mc = mst_pms_optimize(
+        jax.random.PRNGKey(0), jnp.asarray(vol), fa, cfg, max_neighbors=2,
+        iterations=10,
+    )
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "mst_ckpt.npz")
+    save_state(path, a=a, b=b, c=c, min_cost=mc)
+    st = load_state(path)
+    a2, b2, c2, mc2 = mst_pms_optimize(
+        jax.random.PRNGKey(1), jnp.asarray(vol), fa, cfg, max_neighbors=2,
+        iterations=10,
+        init_state=(st["a"], st["b"], st["c"], st["min_cost"]),
+    )
+    assert (np.asarray(mc2) <= np.asarray(mc) + 1e-6).all()
+
+
 def test_mst_optimize_recovers_plane(rng):
     """Cost volume with a clean fronto-parallel minimum at d=5: the
     optimizer must converge to disparity 5 everywhere."""

@@ -94,6 +94,27 @@ def test_tiled_equals_monolithic(mesh, rng):
     _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
 
 
+def test_sgbm_batch_mesh_matches_single(mesh, rng):
+    """Frame-data-parallel SGBM over the mesh == per-frame single runs."""
+    from stereomatch_tpu.config import SGBMConfig
+    from stereomatch_tpu.ops.sgbm import sgbm_disparity
+    from stereomatch_tpu.parallel import make_mesh, sgbm_batch_mesh
+
+    cpus = jax.devices("cpu")
+    m = make_mesh(n_tile=1, n_frame=4, devices=cpus[:4])
+    cfg = SGBMConfig(min_disp=0, num_disp=16, block_size=5)
+    b, h, w = 4, 32, 64
+    base = (rng.random((b, h, w + 6)) * 255).astype(np.float32)
+    left, right = base[..., :w], base[..., 4 : 4 + w]
+    fn = sgbm_batch_mesh(m, cfg)
+    disp, valid = fn(left, right)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    for k in range(b):
+        ref = sgbm_disparity(_cpu(left[k]), _cpu(right[k]), cfg)
+        np.testing.assert_allclose(disp[k], np.asarray(ref.disparity), atol=1e-5)
+        np.testing.assert_array_equal(valid[k], np.asarray(ref.valid))
+
+
 def test_tiled_no_denoise_close(mesh, rng):
     """Without the iterative denoise, tiled WTA matches monolithic up to
     fp32 reassociation noise through the subpixel fit."""
