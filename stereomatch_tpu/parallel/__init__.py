@@ -16,3 +16,4 @@ from .mesh import make_mesh, tile_rows_sharding  # noqa: F401
 from .halo import halo_exchange_rows  # noqa: F401
 from .tiled import tiled_cost_volume_batch, tiled_cost_volume_stereo  # noqa: F401
 from .sgbm_mesh import sgbm_batch_mesh  # noqa: F401
+from .sgbm_pipeline import sgbm_pipeline_mesh  # noqa: F401

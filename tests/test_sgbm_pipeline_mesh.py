@@ -1,0 +1,44 @@
+"""Band-pipelined multi-chip SGBM == single-chip SGBM, frame by frame."""
+
+import numpy as np
+import jax
+import pytest
+
+from stereomatch_tpu.config import SGBMConfig
+from stereomatch_tpu.ops.sgbm import sgbm_disparity
+from stereomatch_tpu.parallel import make_mesh
+from stereomatch_tpu.parallel.sgbm_pipeline import sgbm_pipeline_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 4:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    return Mesh(_np.array(cpus[:4]), ("tile",))
+
+
+def test_pipelined_sgbm_matches_single(mesh4, rng):
+    b, h, w = 3, 64, 96  # h divisible by n=4 -> 16-row bands
+    base = (rng.random((b, h, w + 8)) * 255).astype(np.float32)
+    left, right = base[..., :w], base[..., 5 : 5 + w]
+    cfg = SGBMConfig(min_disp=0, num_disp=16, block_size=5)
+    fn = sgbm_pipeline_mesh(mesh4, cfg)
+    disp, valid = fn(left, right)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    for f in range(b):
+        ref = sgbm_disparity(
+            jax.device_put(left[f], jax.devices("cpu")[0]),
+            jax.device_put(right[f], jax.devices("cpu")[0]),
+            cfg,
+        )
+        np.testing.assert_array_equal(valid[f], np.asarray(ref.valid))
+        np.testing.assert_allclose(
+            disp[f], np.asarray(ref.disparity), atol=1e-4
+        )
