@@ -13,3 +13,15 @@ reprojection — sharded over TPU meshes by image tiles and disparity slabs.
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
+
+_LAZY = ("pipelines", "eval", "io", "geometry", "ops", "models", "parallel", "utils")
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
