@@ -65,22 +65,16 @@ def box_filter(
         return out
     if mode == "count":
         num = x
-        den = jnp.ones((), x.dtype)
-        cnt = None
         for ax in axes:
             num = box_filter_sum(num, radius, ax)
-        shape = [x.shape[a] for a in axes]
-        ones = jnp.ones(shape, x.dtype)
-        cnt = ones
-        for i, _ in enumerate(axes):
-            cnt = box_filter_sum(cnt, radius, i)
-        # broadcast count back over x's full shape
-        expand = [None] * x.ndim
-        it = iter(range(len(axes)))
+        # in-bounds tap count: ones of x's rank (size-1 on unfiltered axes,
+        # so the same `axes` indices apply), filtered along the same axes
         reshape = [1] * x.ndim
-        for i, a in enumerate(axes):
+        for a in axes:
             reshape[a] = x.shape[a]
-        cnt = cnt.reshape(reshape)
+        cnt = jnp.ones(reshape, x.dtype)
+        for ax in axes:
+            cnt = box_filter_sum(cnt, radius, ax)
         return num / cnt
     if mode == "reflect":
         out = x

@@ -309,10 +309,11 @@ def _select_from_aggregated(s, cfg, margin, w_full):
     pre = jnp.where(best == 0, 0.0, pre)
     nxt = jnp.where(best == nd - 1, 0.0, nxt)
 
-    # uniqueness: any d with S[d]*100 < minS*(100+ratio) and |d - best| > 1
-    # invalidates the pixel.
+    # uniqueness: any d with S[d]*(100-ratio) < minS*100 and |d - best| > 1
+    # invalidates the pixel (OpenCV's exact predicate — bit-for-bit on
+    # integer-valued costs).
     if cfg.uniqueness_ratio > 0:
-        bad = (s * 100.0 < min_s[..., None] * (100.0 + cfg.uniqueness_ratio)) & (
+        bad = (s * (100.0 - cfg.uniqueness_ratio) < min_s[..., None] * 100.0) & (
             jnp.abs(ds - b3) > 1
         )
         unique_ok = ~jnp.any(bad, axis=-1)
@@ -346,12 +347,20 @@ def _select_from_aggregated(s, cfg, margin, w_full):
         disp2 = jnp.full((h, w_full), -(2**20)).at[
             ys, jnp.clip(xr, 0, w_full - 1)
         ].max(jnp.where(is_winner, bestd, -(2**20)))
-        # left pixel x checks right pixel x - round(d)
-        dr = jnp.round(disp).astype(jnp.int32)
-        xr1 = xg - dr
-        d2_at = disp2[ys, jnp.clip(xr1, 0, w_full - 1)]
-        has_d2 = (d2_at > -(2**20)) & (xr1 >= 0) & (xr1 < w_full)
-        lr_ok = ~(has_d2 & (jnp.abs(disp - d2_at) > cfg.disp12_max_diff + 1e-6))
+        # OpenCV rounds the subpixel disparity both toward -inf and +inf and
+        # checks BOTH right columns x-floor(d) / x-ceil(d) against floor(d) /
+        # ceil(d); the pixel is invalidated only if both checks fail (each
+        # failure requiring an in-range column with a valid disp2 entry).
+        d_floor = jnp.floor(disp).astype(jnp.int32)
+        d_ceil = jnp.ceil(disp).astype(jnp.int32)
+
+        def _disp12_fails(dd):
+            xr1 = xg - dd
+            d2_at = disp2[ys, jnp.clip(xr1, 0, w_full - 1)]
+            has = (d2_at > -(2**20)) & (xr1 >= 0) & (xr1 < w_full)
+            return has & (jnp.abs(d2_at - dd) > cfg.disp12_max_diff)
+
+        lr_ok = ~(_disp12_fails(d_floor) & _disp12_fails(d_ceil))
     else:
         lr_ok = jnp.ones((h, w), bool)
 

@@ -1,8 +1,10 @@
 """Speckle filtering: parallel connected components on the disparity image.
 
 Equivalent of cv2.filterSpeckles as used by the reference's SGBM config
-(speckleWindowSize=100, speckleRange=32 in CV_16S units,
-src/StereoMatching.cpp:156-173): 4-connected regions of pixels whose
+(speckleWindowSize=100, speckleRange=32, src/StereoMatching.cpp:156-173;
+StereoSGBM::compute passes maxDiff = DISP_SCALE*speckleRange on its 1/16
+fixed-point map, i.e. 32 WHOLE disparities on a float map — not 32/16):
+4-connected regions of pixels whose
 neighboring disparities differ by <= max_diff are measured, and regions
 with <= max_size pixels are reset to `invalid`.
 

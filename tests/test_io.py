@@ -128,3 +128,25 @@ class TestPointCloud:
         assert f"element vertex {len(pts)}" in txt
         txt = (tmp_path / "c.pcd").read_text()
         assert f"POINTS {len(pts)}" in txt
+
+
+def test_kitti_disparity_uint16_roundtrip(tmp_path):
+    """Synthetic KITTI disp_occ format (uint16 PNG, d = value/256, 0 =
+    invalid) survives a PNG round-trip through eval.load_kitti_disparity."""
+    from PIL import Image
+
+    from stereomatch_tpu.eval import load_kitti_disparity
+
+    rng = np.random.default_rng(3)
+    d_true = rng.uniform(0.5, 192.0, size=(37, 53)).astype(np.float32)
+    valid_true = rng.random((37, 53)) > 0.3
+    raw = np.where(valid_true, np.round(d_true * 256.0), 0).astype(np.uint16)
+    p = os.path.join(tmp_path, "disp.png")
+    Image.fromarray(raw, mode="I;16").save(p)
+
+    d, valid = load_kitti_disparity(p)
+    assert d.shape == (37, 53)
+    np.testing.assert_array_equal(valid, valid_true)
+    # quantization error <= 1/512
+    np.testing.assert_allclose(d[valid], d_true[valid_true], atol=1.0 / 256.0)
+    assert (d[~valid] == 0).all()
