@@ -4,8 +4,9 @@ src/stereo_opencv (copy).cpp:47-349: --algorithm / --blocksize /
 framework's additional engines.
 
 Algorithms:
-  bm        block matching: windowed truncated-AD on the x-Sobel prefiltered
-            pair + WTA (the OpenCV StereoBM wrapper's role,
+  bm        block matching with the full cv::StereoBM parameter surface:
+            x-Sobel prefilter, window SAD, textureThreshold, uniqueness,
+            disp12 and speckle post (src/stereo_opencv (copy).cpp:258-268,
             src/StereoMatching.cpp BMStereo)
   sgbm|hh|sgbm3way
             semi-global matching; hh = full 8-path (MODE_HH, the reference's
@@ -99,18 +100,16 @@ def main(argv=None):
                 sgbm_disparity(jnp.asarray(gray(left)), jnp.asarray(gray(right)), cfg).disparity
             )
     elif a.algorithm == "bm":
-        from ..config import ZNCCConfig
-        from ..ops.cost import windowed_volumes
-        from ..ops.sgbm import xsobel_clipped
-        from ..ops.select import wta_disparity
+        from ..config import BMConfig
+        from ..pipelines import bm_pipeline
 
-        cfg = ZNCCConfig(min_disp=0, max_disp=nd - 1,
-                         win_radius=a.blocksize // 2, metric="ad")
+        cfg = BMConfig(
+            min_disp=0,
+            num_disp=nd,
+            block_size=a.blocksize if a.blocksize > 5 else 9,
+        )
         with timer.stage("bm"):
-            sl = xsobel_clipped(jnp.asarray(gray(left)))
-            sr = xsobel_clipped(jnp.asarray(gray(right)))
-            lvol, _ = windowed_volumes(sl, sr, cfg)
-            disp = np.asarray(wta_disparity(lvol, 0))
+            disp = bm_pipeline(left, right, cfg)
     elif a.algorithm == "census":
         from ..config import CensusConfig
         from ..pipelines import census_pipeline

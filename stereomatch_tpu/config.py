@@ -31,6 +31,25 @@ class CensusConfig:
 
 
 @dataclass(frozen=True)
+class BMConfig:
+    """StereoBM parameter surface, mirroring cv::StereoBM as configured by
+    the reference's legacy CLI (src/stereo_opencv (copy).cpp:258-268):
+    preFilterCap 31, blockSize 9, minDisparity 0, textureThreshold 10,
+    uniquenessRatio 15, speckle 100/32, disp12MaxDiff 1.
+    """
+
+    min_disp: int = 0
+    num_disp: int = 128
+    block_size: int = 9
+    prefilter_cap: int = 31
+    texture_threshold: int = 10
+    uniqueness_ratio: int = 15
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    disp12_max_diff: int = 1
+
+
+@dataclass(frozen=True)
 class SGBMConfig:
     """SGBM parameter surface, mirroring OpenCV StereoSGBM as configured by
     the reference (src/StereoMatching.cpp:148-193): blockSize 5,
@@ -161,6 +180,45 @@ class PatchMatchConfig:
     # .cu:981-983); "adgrad": the CPU pm dissimilarity
     # (1-alpha)*min(L1color, tau_c) + alpha*min(L1grad, tau_g) (pm.cpp:97-104)
     metric: str = "grad_sign"
+
+
+@dataclass(frozen=True)
+class CoupledConfig:
+    """Coupled PatchMatch <-> variational engine (the reference's Family E
+    data-step set: evaluateCost_huber src/PatchMatchStereoGPU.cu:3033-3271,
+    stereoMatching_huber :3273-3581, huberROFSmooth :3903-4073, and the
+    AL-WTA MCCNN_ALTV_CostVolumeWTA :4748-4803 with the alternation loop
+    :7331-7727 — dead in the reference, live here).
+
+    Constants cited: lambda_data=50 (.cu:3299), window stride 5
+    (:3126-3128), weight gamma 255/5 on [0,1] colors = 5 on [0,255]
+    (:3047), out-of-range tap cost 1.0 / weight 0.7 (:3253-3254), volume
+    lerp clamp 0.5 (:3200), Huber eps 0.001 (:3938), primal/dual steps
+    1/sqrt(8) (:3940,:4046). The theta coupling schedule is free in the
+    reference (device globals init 0, .cu:178-179, never set on the live
+    path); here it ramps linearly from theta_start to theta_end.
+    """
+
+    max_disp: int = 60
+    window_size: int = 35
+    tap_stride: int = 5
+    gamma_pmsh: float = 5.0
+    lambda_data: float = 50.0
+    oob_cost: float = 1.0
+    oob_weight: float = 0.7
+    clamp: float = 0.5
+    huber_eps: float = 0.001
+    outer_iterations: int = 10
+    smooth_iters: int = 10
+    theta_d_start: float = 5.0
+    theta_d_end: float = 50.0
+    theta_n_start: float = 0.5
+    theta_n_end: float = 5.0
+    # AL-WTA variant (MCCNN_ALTV_CostVolumeWTA + TGV): lambda_d weights the
+    # volume term; theta_inv grows by 1/(1 - beta*i) per round (.cu:7532)
+    lambda_d: float = 1.0
+    theta_inv0: float = 2.0
+    beta_anneal: float = 0.02
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,7 @@ __all__ = [
     "check_stereo_pair",
     "costvolume_pipeline",
     "census_pipeline",
+    "bm_pipeline",
     "sgbm_pipeline",
     "mst_pipeline",
     "patchmatch_pipeline",
@@ -136,6 +137,34 @@ def patchmatch_pipeline(left, right, cfg=None, seed: int = 0, postprocess: bool 
     return np.asarray(out.left_disp), np.asarray(out.right_disp)
 
 
+def bm_pipeline(left, right, cfg=None, speckle: bool = True):
+    """StereoBM left-view disparity with the OpenCV parameter surface
+    (ref: the legacy CLI's bm algorithm, src/stereo_opencv (copy).cpp:258-268,
+    and StereoMatching::BMStereo, src/StereoMatching.cpp:116-146).
+    Returns float32 disparity; invalid pixels = cfg.min_disp - 1."""
+    from .config import BMConfig
+    from .ops.bm import bm_disparity
+
+    cfg = cfg or BMConfig()
+    check_stereo_pair(left, right)
+    out = bm_disparity(_gray255(left), _gray255(right), cfg)
+    disp = np.asarray(out.disparity)
+    if speckle and cfg.speckle_window_size > 0:
+        from .ops.speckle import filter_speckles
+
+        # StereoBM::compute, like SGBM, passes DISP_SCALE*speckleRange on
+        # its fixed-point map = speckleRange whole disparities
+        disp = np.asarray(
+            filter_speckles(
+                jnp.asarray(disp),
+                invalid=float(cfg.min_disp - 1),
+                max_size=cfg.speckle_window_size,
+                max_diff=float(cfg.speckle_range),
+            )
+        )
+    return disp
+
+
 def sgbm_pipeline(left, right, cfg: SGBMConfig = SGBMConfig(), speckle: bool = True):
     """8-path SGBM left-view disparity with the OpenCV parameter surface
     (ref: StereoMatching::SGBMStereo, src/StereoMatching.cpp:148-193).
@@ -154,12 +183,15 @@ def sgbm_pipeline(left, right, cfg: SGBMConfig = SGBMConfig(), speckle: bool = T
     if speckle and cfg.speckle_window_size > 0:
         from .ops.speckle import filter_speckles
 
+        # OpenCV's StereoSGBM::compute calls filterSpeckles with
+        # DISP_SCALE*speckleRange on the 1/16 fixed-point map — i.e.
+        # speckleRange WHOLE disparities on a float map.
         disp = np.asarray(
             filter_speckles(
                 jnp.asarray(disp),
                 invalid=float(cfg.min_disp - 1),
                 max_size=cfg.speckle_window_size,
-                max_diff=float(cfg.speckle_range) / 16.0,
+                max_diff=float(cfg.speckle_range),
             )
         )
     return disp
