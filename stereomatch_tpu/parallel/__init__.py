@@ -8,12 +8,15 @@ dual-stream L/R) map onto a `jax.sharding.Mesh` here:
                  streaming-video config)
   axis "tile"  — spatial tiles of the image (rows); windowed ops exchange
                  halos over ICI with `ppermute`
-  (disparity-slab sharding of the H x W x D volume composes with "tile"
-  for the largest volumes — WTA then reduces over the slab axis.)
+  axes "tile_y" x "tile_x" x "dslab" — the full SURVEY §5 mesh (tiled2d):
+                 2-D image tiles plus the H x W x D volume sharded over
+                 disparity slabs, WTA = one argmin-combine collective
 """
 
 from .mesh import make_mesh, tile_rows_sharding  # noqa: F401
 from .halo import halo_exchange_rows  # noqa: F401
 from .tiled import tiled_cost_volume_batch, tiled_cost_volume_stereo  # noqa: F401
+from .tiled2d import make_mesh3, tiled2d_cost_volume_stereo  # noqa: F401
+from .dslab import wta_disparity_dslab  # noqa: F401
 from .sgbm_mesh import sgbm_batch_mesh  # noqa: F401
 from .sgbm_pipeline import sgbm_pipeline_mesh  # noqa: F401

@@ -48,10 +48,11 @@ def _guided_volume_block(gray, vol, radius, eps, slab, row_mask=None):
     """Guided filter on an extended block (same math as
     ops.filters.guided_filter_volume, zero-pad mode).
 
-    row_mask marks rows inside the GLOBAL image: a/b must be zeroed on
-    rows beyond the global edge before their own box filter, because the
-    monolithic filter zero-pads there (halo rows past the edge otherwise
-    contribute nonzero a/b built from partial window statistics)."""
+    row_mask marks rows (1-D) or pixels (2-D, for tiled2d's column halos)
+    inside the GLOBAL image: a/b must be zeroed beyond the global edge
+    before their own box filter, because the monolithic filter zero-pads
+    there (halo pixels past the edge otherwise contribute nonzero a/b
+    built from partial window statistics)."""
     mean_g = box_filter(gray, radius, (0, 1), "zero")
     var_g = box_filter(gray * gray, radius, (0, 1), "zero") - mean_g * mean_g
     denom = var_g + eps
@@ -61,7 +62,12 @@ def _guided_volume_block(gray, vol, radius, eps, slab, row_mask=None):
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, pad_d)))
     nslab = vol.shape[2] // slab
     vol_s = jnp.moveaxis(vol.reshape(h, w, nslab, slab), 2, 0)
-    mask = None if row_mask is None else row_mask.astype(vol.dtype)[:, None, None]
+    if row_mask is None:
+        mask = None
+    elif row_mask.ndim == 1:
+        mask = row_mask.astype(vol.dtype)[:, None, None]
+    else:
+        mask = row_mask.astype(vol.dtype)[:, :, None]
 
     def step(_, p):
         mean_p = box_filter(p, radius, (0, 1), "zero")

@@ -130,3 +130,82 @@ def test_tiled_no_denoise_close(mesh, rng):
     tl, tr = fn(left, right)
     _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
     _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
+
+
+@pytest.fixture(scope="module")
+def mesh3():
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from stereomatch_tpu.parallel import make_mesh3
+
+    return make_mesh3(2, 2, 2, devices=cpus[:8])
+
+
+def test_wta_dslab_matches_monolithic(rng):
+    """D-sharded WTA (pmin/psum argmin-combine + one-slice halo) ==
+    ops.select.wta_disparity exactly."""
+    from jax.sharding import PartitionSpec as P
+    from stereomatch_tpu.ops.select import wta_disparity
+    from stereomatch_tpu.parallel import make_mesh3, wta_disparity_dslab
+    from stereomatch_tpu.parallel.tiled import shard_map
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs CPU mesh")
+    m = make_mesh3(1, 1, 4, devices=cpus[:4])
+    vol = rng.random((13, 21, 16)).astype(np.float32)
+    # inject exact ties across shard boundaries to exercise tie-breaking
+    vol[3, 4, 2] = vol[3, 4, 9] = vol[3, 4].min() - 1.0
+    vol[7, 7, 7] = vol[7, 7, 8] = vol[7, 7].min() - 1.0  # ties at shard edge
+
+    ref = np.asarray(wta_disparity(_cpu(jnp.asarray(vol)), 5))
+    fn = shard_map(
+        lambda v: wta_disparity_dslab(v, 5, "dslab"),
+        mesh=m,
+        in_specs=P(None, None, "dslab"),
+        out_specs=P(),
+    )
+    got = np.asarray(jax.jit(fn)(vol))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_tiled2d_equals_monolithic(mesh3, rng):
+    """(tile_y, tile_x, dslab) pipeline == monolithic, with denoise."""
+    h, w, d = 48, 64, 16
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=3, slab=8),
+        denoise=DenoiseConfig(iterations=15),
+    )
+    left = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    mono = cost_volume_stereo(_cpu(left), _cpu(right), cfg)
+
+    from stereomatch_tpu.parallel import tiled2d_cost_volume_stereo
+
+    fn = tiled2d_cost_volume_stereo(mesh3, (h, w), cfg)
+    tl, tr = fn(left, right)
+    _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
+    _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
+
+
+def test_tiled2d_no_denoise_close(mesh3, rng):
+    h, w, d = 32, 48, 8
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=2, slab=8),
+    )
+    left = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    mono = cost_volume_stereo(_cpu(left), _cpu(right), cfg, denoise=False)
+
+    from stereomatch_tpu.parallel import tiled2d_cost_volume_stereo
+
+    fn = tiled2d_cost_volume_stereo(mesh3, (h, w), cfg, denoise=False)
+    tl, tr = fn(left, right)
+    _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
+    _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
