@@ -44,6 +44,8 @@ __all__ = [
     "label_cost",
     "labels_to_disparity",
     "mst_pms_optimize",
+    "refine_deltas",
+    "make_candidate_fn",
 ]
 
 
@@ -272,7 +274,121 @@ def init_labels(key, f: ForestArrays, max_disp: int):
     return _sample_plane(key, px, py, float(max_disp))
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_neighbors", "iterations"))
+def refine_deltas(max_disp: int):
+    """Annealed refinement schedule: max_d = Dmax/2, /2, ... > 0.1 with the
+    normal delta halving alongside (ref: src/Stereo3DMST.cpp:584-625).
+    Returns (deltas_d, deltas_n) float32 arrays of length n_refine."""
+    deltas = []
+    md, mn = 0.5 * max_disp, 1.0
+    while md > 0.1:
+        deltas.append((md, mn))
+        md, mn = md * 0.5, mn * 0.5
+    deltas_d = jnp.asarray([d for d, _ in deltas], jnp.float32)
+    deltas_n = jnp.asarray([m for _, m in deltas], jnp.float32)
+    return deltas_d, deltas_n
+
+
+def make_candidate_fn(
+    key_i: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    c: jax.Array,
+    f: ForestArrays,
+    max_disp: int,
+    max_neighbors: int,
+    deltas_d: jax.Array,
+    deltas_n: jax.Array,
+):
+    """Per-iteration candidate generator: cand(j) -> per-tree plane params
+    (a, b, c), each (tmax,), for GLOBAL candidate index j.
+
+    j < max_neighbors: one label sampled from a random pixel of a random
+    neighboring tree (spatial propagation across trees,
+    ref: src/Stereo3DMST.cpp:569-573). j >= max_neighbors: annealed random
+    refinement level j - max_neighbors around a random node's label
+    (:584-625). `j` may be a Python int (single-chip, branch const-folds)
+    or a traced int32 (mesh sharding over candidates,
+    parallel/mst_mesh.py) — RNG is keyed by the global j either way, so a
+    candidate's value is independent of which device evaluates it.
+    """
+    tmax = f.tree_start.shape[0] - 1
+    n_refine = deltas_d.shape[0]
+    tsize = (f.tree_start[1:] - f.tree_start[:-1]).astype(jnp.float32)
+    nb_count = (f.adj_start[1:] - f.adj_start[:-1]).astype(jnp.float32)
+    ka, kb, kc = jax.random.split(key_i, 3)
+
+    # base label for refinements: one random node per tree, drawn once per
+    # iteration and shared by all refinement levels
+    u = jax.random.uniform(kb, (tmax,))
+    base_node = f.tree_start[:-1] + jnp.minimum(
+        (u * jnp.maximum(tsize, 1.0)).astype(jnp.int32),
+        jnp.maximum(tsize - 1.0, 0.0).astype(jnp.int32),
+    )
+    pa, pb, pc = a[base_node], b[base_node], c[base_node]
+    px = (f.pixel_of_node[base_node] % f.width).astype(jnp.float32)
+    py = (f.pixel_of_node[base_node] // f.width).astype(jnp.float32)
+    nz = 1.0 / jnp.sqrt(pa * pa + pb * pb + 1.0)
+    nx = -pa * nz
+    ny = -pb * nz
+    d0 = px * pa + py * pb + pc
+
+    def cand(j):
+        # ---- neighbor-tree branch ----
+        kj = jax.random.fold_in(ka, j)
+        k1, k2 = jax.random.split(kj)
+        un = jax.random.uniform(k1, (tmax,))
+        nb_idx = f.adj_start[:-1] + jnp.minimum(
+            (un * jnp.maximum(nb_count, 1.0)).astype(jnp.int32),
+            jnp.maximum(nb_count - 1.0, 0.0).astype(jnp.int32),
+        )
+        nb_tree = jnp.where(
+            nb_count > 0,
+            f.adj_list[jnp.clip(nb_idx, 0, f.adj_list.shape[0] - 1)],
+            jnp.arange(tmax),
+        )
+        v = jax.random.uniform(k2, (tmax,))
+        nts = f.tree_start[nb_tree]
+        ntc = (f.tree_start[nb_tree + 1] - nts).astype(jnp.float32)
+        node = nts + jnp.minimum(
+            (v * ntc).astype(jnp.int32),
+            jnp.maximum(ntc - 1.0, 0.0).astype(jnp.int32),
+        )
+        nb_a, nb_b, nb_c = a[node], b[node], c[node]
+
+        # ---- annealed refinement branch ----
+        jr = jnp.clip(j - max_neighbors, 0, max(n_refine - 1, 0))
+        kr = jax.random.fold_in(kc, jr)
+        r = jax.random.uniform(kr, (4, tmax), minval=-1.0, maxval=1.0)
+        dd, dn = deltas_d[jr], deltas_n[jr]
+        rd = d0 + r[0] * dd
+        rnx = nx + r[1] * dn
+        rny = ny + r[2] * dn
+        rnz = nz + r[3] * dn
+        inv = 1.0 / jnp.sqrt(rnx * rnx + rny * rny + rnz * rnz)
+        rnx, rny = rnx * inv, rny * inv
+        rnz = jnp.maximum(jnp.abs(rnz * inv), 1e-8)
+        ca = -rnx / rnz
+        cb = -rny / rnz
+        cc = (rnx * px + rny * py + rnz * rd) / rnz
+        ok = (rd >= 0.0) & (rd <= max_disp)
+        # out-of-range draws fall back to the base label (no-op)
+        rf_a = jnp.where(ok, ca, pa)
+        rf_b = jnp.where(ok, cb, pb)
+        rf_c = jnp.where(ok, cc, pc)
+
+        is_nb = j < max_neighbors  # const-folds when j is a Python int
+        return (
+            jnp.where(is_nb, nb_a, rf_a),
+            jnp.where(is_nb, nb_b, rf_b),
+            jnp.where(is_nb, nb_c, rf_c),
+        )
+
+    return cand
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "max_neighbors", "iterations", "candidate_chunk")
+)
 def mst_pms_optimize(
     key: jax.Array,
     cost_vol: jax.Array,
@@ -281,6 +397,7 @@ def mst_pms_optimize(
     max_neighbors: int = 8,
     iterations: int | None = None,
     init_state=None,
+    candidate_chunk: int | None = None,
 ):
     """The MST_PMS loop (ref: src/Stereo3DMST.cpp:546-629, 100 iterations at
     :858-889) for ALL trees in parallel.
@@ -288,9 +405,16 @@ def mst_pms_optimize(
     Per iteration, per tree: sample one label from a random pixel of each of
     up to `max_neighbors` neighboring trees (spatial propagation across
     trees) plus the annealed random-plane refinements (max_d halving from
-    Dmax/2 to 0.1), evaluate each candidate with one batched tree_filter
-    pass, and keep the per-pixel argmin (the reference updates min cost per
-    PIXEL, :173-185). Returns (a, b, c, min_cost) in node order.
+    Dmax/2 to 0.1), evaluate each candidate with batched tree_filter
+    passes, and keep the per-pixel argmin (the reference updates min cost
+    per PIXEL, :173-185). Returns (a, b, c, min_cost) in node order.
+
+    candidate_chunk bounds peak memory at production scale: candidates are
+    evaluated `candidate_chunk` at a time through a lax.scan with a running
+    per-pixel (cost, index) min — identical result to the one-shot batch
+    (ties break to the smallest candidate index either way), with peak live
+    tree_filter state (chunk, 2N) instead of (K, 2N). At 2048x1536 that is
+    the difference between ~430 MB and ~100 MB per scan buffer.
 
     Deviations from the reference (documented): candidates are drawn from
     the iteration-start label map (the reference reads neighbor labels
@@ -300,17 +424,10 @@ def mst_pms_optimize(
     n = f.pixel_of_node.shape[0]
     iters = cfg.iterations if iterations is None else iterations
     max_disp = cfg.max_disp
-    tmax = f.tree_start.shape[0] - 1  # padded tree capacity
 
-    # annealed refinement deltas: max_d = Dmax/2, /2, ... > 0.1
-    deltas = []
-    md, mn = 0.5 * max_disp, 1.0
-    while md > 0.1:
-        deltas.append((md, mn))
-        md, mn = md * 0.5, mn * 0.5
-    n_refine = len(deltas)
-    deltas_d = jnp.asarray([d for d, _ in deltas], jnp.float32)
-    deltas_n = jnp.asarray([m for _, m in deltas], jnp.float32)
+    deltas_d, deltas_n = refine_deltas(max_disp)
+    n_refine = int(deltas_d.shape[0])
+    k_total = max_neighbors + n_refine
 
     key, k0 = jax.random.split(key)
     if init_state is None:
@@ -321,98 +438,71 @@ def mst_pms_optimize(
         # (utils/checkpoint.py) — the reference has no equivalent (SURVEY §5)
         a0, b0, c0, min0 = (jnp.asarray(x) for x in init_state)
 
-    tsize = (f.tree_start[1:] - f.tree_start[:-1]).astype(jnp.float32)
-    nb_count = (f.adj_start[1:] - f.adj_start[:-1]).astype(jnp.float32)
-
     def iteration(carry, key_i):
         """All of this iteration's candidates (neighbor-tree samples +
-        annealed refinements) are evaluated in ONE batched tree_filter pass
-        (K, N): the Euler prefix sums amortize perfectly over the candidate
-        axis, unlike the reference's candidate-at-a-time tree walks."""
+        annealed refinements) are evaluated in batched tree_filter passes:
+        the Euler prefix sums amortize over the candidate axis, unlike the
+        reference's candidate-at-a-time tree walks."""
         a, b, c, mc = carry
-        ka, kb, kc = jax.random.split(key_i, 3)
-
-        # ---- neighbor-tree label candidates (K_n, tmax) ----
-        def nb_candidate(j):
-            kj = jax.random.fold_in(ka, j)
-            k1, k2 = jax.random.split(kj)
-            u = jax.random.uniform(k1, (tmax,))
-            nb_idx = f.adj_start[:-1] + jnp.minimum(
-                (u * jnp.maximum(nb_count, 1.0)).astype(jnp.int32),
-                jnp.maximum(nb_count - 1.0, 0.0).astype(jnp.int32),
-            )
-            nb_tree = jnp.where(
-                nb_count > 0, f.adj_list[jnp.clip(nb_idx, 0, f.adj_list.shape[0] - 1)],
-                jnp.arange(tmax),
-            )
-            v = jax.random.uniform(k2, (tmax,))
-            nts = f.tree_start[nb_tree]
-            ntc = (f.tree_start[nb_tree + 1] - nts).astype(jnp.float32)
-            node = nts + jnp.minimum(
-                (v * ntc).astype(jnp.int32),
-                jnp.maximum(ntc - 1.0, 0.0).astype(jnp.int32),
-            )
-            return a[node], b[node], c[node]
-
-        cands = [nb_candidate(j) for j in range(max_neighbors)]
-
-        # ---- annealed refinements around a random node's label ----
-        u = jax.random.uniform(kb, (tmax,))
-        base_node = f.tree_start[:-1] + jnp.minimum(
-            (u * jnp.maximum(tsize, 1.0)).astype(jnp.int32),
-            jnp.maximum(tsize - 1.0, 0.0).astype(jnp.int32),
+        cand = make_candidate_fn(
+            key_i, a, b, c, f, max_disp, max_neighbors, deltas_d, deltas_n
         )
-        pa, pb, pc = a[base_node], b[base_node], c[base_node]
-        px = (f.pixel_of_node[base_node] % f.width).astype(jnp.float32)
-        py = (f.pixel_of_node[base_node] // f.width).astype(jnp.float32)
-        nz = 1.0 / jnp.sqrt(pa * pa + pb * pb + 1.0)
-        nx = -pa * nz
-        ny = -pb * nz
-        d0 = px * pa + py * pb + pc
+        params = [cand(j) for j in range(k_total)]
+        ka_ = jnp.stack([t[0] for t in params])  # (K, tmax)
+        kb_ = jnp.stack([t[1] for t in params])
+        kc_ = jnp.stack([t[2] for t in params])
 
-        for j in range(n_refine):
-            kj = jax.random.fold_in(kc, j)
-            r = jax.random.uniform(kj, (4, tmax), minval=-1.0, maxval=1.0)
-            rd = d0 + r[0] * deltas_d[j]
-            rnx = nx + r[1] * deltas_n[j]
-            rny = ny + r[2] * deltas_n[j]
-            rnz = nz + r[3] * deltas_n[j]
-            inv = 1.0 / jnp.sqrt(rnx * rnx + rny * rny + rnz * rnz)
-            rnx, rny = rnx * inv, rny * inv
-            rnz = jnp.maximum(jnp.abs(rnz * inv), 1e-8)
-            ca = -rnx / rnz
-            cb = -rny / rnz
-            cc = (rnx * px + rny * py + rnz * rd) / rnz
-            ok = (rd >= 0.0) & (rd <= max_disp)
-            # out-of-range draws fall back to the base label (no-op)
-            cands.append(
-                (
-                    jnp.where(ok, ca, pa),
-                    jnp.where(ok, cb, pb),
-                    jnp.where(ok, cc, pc),
-                )
+        def eval_block(pa_, pb_, pc_):
+            na = pa_[:, f.tree_id]  # (Kb, N)
+            nb = pb_[:, f.tree_id]
+            nc = pc_[:, f.tree_id]
+            cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
+            return tree_filter(cn, f, cfg.carry_iters)  # (Kb, N)
+
+        if candidate_chunk is None or candidate_chunk >= k_total:
+            agg = eval_block(ka_, kb_, kc_)
+            best_k = jnp.argmin(agg, axis=0)
+            best_agg = jnp.min(agg, axis=0)
+        else:
+            chunk = candidate_chunk
+            pad = (-k_total) % chunk
+            kap = jnp.pad(ka_, ((0, pad), (0, 0)))
+            kbp = jnp.pad(kb_, ((0, pad), (0, 0)))
+            kcp = jnp.pad(kc_, ((0, pad), (0, 0)))
+            n_chunks = (k_total + pad) // chunk
+
+            def chunk_step(carry2, ci):
+                bc, bk = carry2
+                j0 = ci * chunk
+                sa = jax.lax.dynamic_slice_in_dim(kap, j0, chunk, 0)
+                sb = jax.lax.dynamic_slice_in_dim(kbp, j0, chunk, 0)
+                sc = jax.lax.dynamic_slice_in_dim(kcp, j0, chunk, 0)
+                agg = eval_block(sa, sb, sc)
+                live = (j0 + jnp.arange(chunk)) < k_total
+                agg = jnp.where(live[:, None], agg, jnp.inf)
+                lk = jnp.argmin(agg, axis=0)
+                lc = jnp.min(agg, axis=0)
+                better2 = lc < bc  # strict: first (smallest-j) min wins
+                return (
+                    jnp.where(better2, lc, bc),
+                    jnp.where(better2, j0 + lk, bk),
+                ), None
+
+            (best_agg, best_k), _ = jax.lax.scan(
+                chunk_step,
+                (jnp.full((n,), jnp.inf, jnp.float32), jnp.zeros((n,), jnp.int32)),
+                jnp.arange(n_chunks),
             )
-
-        # ---- one batched evaluation over all K candidates ----
-        ka_ = jnp.stack([t[0] for t in cands])  # (K, tmax)
-        kb_ = jnp.stack([t[1] for t in cands])
-        kc_ = jnp.stack([t[2] for t in cands])
-        na = ka_[:, f.tree_id]  # (K, N)
-        nb = kb_[:, f.tree_id]
-        nc = kc_[:, f.tree_id]
-        cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
-        agg = tree_filter(cn, f, cfg.carry_iters)  # (K, N)
+            ka_, kb_, kc_ = kap, kbp, kcp  # best_k indexes the padded stack
 
         # per-pixel best over {current, candidates} (reference updates per
-        # PIXEL, Stereo3DMST.cpp:173-185)
-        best_k = jnp.argmin(agg, axis=0)
-        best_agg = jnp.min(agg, axis=0)
-        take = lambda arr: jnp.take_along_axis(arr, best_k[None], axis=0)[0]  # noqa: E731
+        # PIXEL, Stereo3DMST.cpp:173-185); winning params re-gathered from
+        # the (K, tmax) stacks via (best_k, tree_id)
         better = best_agg < mc
         state = (
-            jnp.where(better, take(na), a),
-            jnp.where(better, take(nb), b),
-            jnp.where(better, take(nc), c),
+            jnp.where(better, ka_[best_k, f.tree_id], a),
+            jnp.where(better, kb_[best_k, f.tree_id], b),
+            jnp.where(better, kc_[best_k, f.tree_id], c),
             jnp.where(better, best_agg, mc),
         )
         return state, None

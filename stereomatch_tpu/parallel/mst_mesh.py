@@ -1,0 +1,167 @@
+"""Multi-chip 3DMST: candidate batches sharded over the mesh.
+
+The reference parallelizes MST_PMS with OpenMP over trees
+(src/Stereo3DMST.cpp:559, schedule(dynamic)). On a TPU mesh the natural
+shard axis is the CANDIDATE batch instead: every iteration evaluates
+K = max_neighbors + n_refine independent label proposals with full-forest
+tree_filter passes, so device i evaluates the strided subset
+{j : j % n_devices == i} and the per-pixel winner is ONE argmin-combine
+collective (pmin/psum, the same pattern as parallel/dslab.py) — perfect
+load balance with no tree bucketing, and the label state stays replicated
+so iterations chain with no further communication.
+
+Exactness: candidates are RNG-keyed by their GLOBAL index j
+(ops.mst.make_candidate_fn), and ties break to the smallest j both here
+(lexicographic pmin) and in the single-chip argmin — so the mesh result
+matches single-chip mst_pms_optimize up to fp32 rounding of the
+differently-batched tree_filter (~1e-7 cost noise, which can flip
+near-exact-tie winners on <<1% of pixels; tested on the 8-device CPU
+mesh, tests/test_mst_mesh.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .tiled import shard_map
+from ..config import MSTConfig
+from ..ops.mst import (
+    ForestArrays,
+    init_labels,
+    label_cost,
+    make_candidate_fn,
+    refine_deltas,
+    tree_filter,
+)
+
+__all__ = ["mst_pms_optimize_mesh", "make_cand_mesh"]
+
+
+def make_cand_mesh(n_devices: int, devices=None) -> Mesh:
+    """1-D mesh over the candidate axis."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices[:n_devices]), ("cand",))
+
+
+def _body(
+    key,
+    cost_vol,
+    f: ForestArrays,
+    cfg: MSTConfig,
+    max_neighbors: int,
+    iterations: int,
+    n_dev: int,
+    init_state,
+):
+    n = f.pixel_of_node.shape[0]
+    max_disp = cfg.max_disp
+    deltas_d, deltas_n = refine_deltas(max_disp)
+    n_refine = int(deltas_d.shape[0])
+    k_total = max_neighbors + n_refine
+    kloc = -(-k_total // n_dev)  # ceil: candidate slots per device
+    idx = lax.axis_index("cand")
+
+    key, k0 = jax.random.split(key)
+    if init_state is None:
+        a0, b0, c0 = init_labels(k0, f, max_disp)
+        min0 = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        a0, b0, c0, min0 = (jnp.asarray(x) for x in init_state)
+
+    def iteration(carry, key_i):
+        a, b, c, mc = carry
+        cand = make_candidate_fn(
+            key_i, a, b, c, f, max_disp, max_neighbors, deltas_d, deltas_n
+        )
+        # strided local candidate indices j = t*n_dev + idx (traced)
+        local_js = [t * n_dev + idx for t in range(kloc)]
+        params = [cand(jnp.minimum(j, k_total - 1)) for j in local_js]
+        pa_ = jnp.stack([t[0] for t in params])  # (kloc, tmax)
+        pb_ = jnp.stack([t[1] for t in params])
+        pc_ = jnp.stack([t[2] for t in params])
+
+        na = pa_[:, f.tree_id]
+        nb = pb_[:, f.tree_id]
+        nc = pc_[:, f.tree_id]
+        cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
+        agg = tree_filter(cn, f, cfg.carry_iters)  # (kloc, N)
+        live = jnp.stack([j < k_total for j in local_js])
+        agg = jnp.where(live[:, None], agg, jnp.inf)
+
+        lt = jnp.argmin(agg, axis=0)  # smallest slot = smallest local j
+        lc = jnp.min(agg, axis=0)
+        lj = lt * n_dev + idx  # global candidate index of the local best
+
+        # argmin-combine over the mesh, ties to the smallest global j
+        # (matches single-chip argmin over the ordered K axis exactly)
+        gmin = lax.pmin(lc, "cand")
+        winner = lc == gmin
+        gj = lax.pmin(jnp.where(winner, lj, k_total), "cand")
+        mask = winner & (lj == gj)  # exactly one device per pixel
+        sel = lambda arr: lax.psum(  # noqa: E731
+            jnp.where(mask, arr[lt, f.tree_id], 0.0), "cand"
+        )
+
+        better = gmin < mc
+        state = (
+            jnp.where(better, sel(pa_), a),
+            jnp.where(better, sel(pb_), b),
+            jnp.where(better, sel(pc_), c),
+            jnp.where(better, gmin, mc),
+        )
+        return state, None
+
+    keys = jax.random.split(key, iterations)
+    (a, b, c, mc), _ = jax.lax.scan(iteration, (a0, b0, c0, min0), keys)
+    return a, b, c, mc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "max_neighbors", "iterations"),
+)
+def mst_pms_optimize_mesh(
+    key: jax.Array,
+    cost_vol: jax.Array,
+    f: ForestArrays,
+    mesh: Mesh,
+    cfg: MSTConfig = MSTConfig(),
+    max_neighbors: int = 8,
+    iterations: int | None = None,
+    init_state=None,
+):
+    """Multi-chip MST_PMS: same signature and RESULT as
+    ops.mst.mst_pms_optimize, with each iteration's candidate evaluations
+    spread over the mesh's "cand" axis. Inputs are replicated; the label
+    state stays replicated (the per-iteration combine is collective)."""
+    iters = cfg.iterations if iterations is None else iterations
+    n_dev = mesh.shape["cand"]
+
+    fn = shard_map(
+        lambda k, v, fa, st: _body(
+            k, v, fa, cfg, max_neighbors, iters, n_dev, st
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    if init_state is None:
+        # shard_map needs a concrete pytree; pass a zero-size sentinel via
+        # closure instead
+        fn = shard_map(
+            lambda k, v, fa: _body(
+                k, v, fa, cfg, max_neighbors, iters, n_dev, None
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+        )
+        return fn(key, cost_vol, f)
+    return fn(key, cost_vol, f, tuple(jnp.asarray(x) for x in init_state))

@@ -1,0 +1,93 @@
+"""Multi-chip 3DMST (parallel/mst_mesh.py): candidate-sharded optimization
+must EXACTLY reproduce single-chip mst_pms_optimize (candidates are keyed by
+global index; ties break to the smallest index on both paths)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereomatch_tpu.config import MSTConfig
+from stereomatch_tpu.native import build_forest, color_edge_weights
+from stereomatch_tpu.ops.mst import forest_arrays, mst_pms_optimize
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    rng = np.random.default_rng(12)
+    h, w, d = 20, 28, 10
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    # smooth a bit so segmentation yields a handful of trees
+    for _ in range(2):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+    wr, wd_ = color_edge_weights(img)
+    f = build_forest(wr, wd_, 500.0, 20, gamma=1 / 12.0, delta=4.0)
+    fa = forest_arrays(f)
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    d_true = 0.1 * xs + 2.0 + np.zeros((h, 1), np.float32)
+    ds = np.arange(d, dtype=np.float32)[None, None, :]
+    vol = np.minimum(np.abs(ds - d_true[..., None]) * 0.2, 0.5).astype(np.float32)
+    return fa, jnp.asarray(vol)
+
+
+def _cpu_devices(n):
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < n:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    return cpus
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_mesh_matches_single_chip(small_problem, n_dev):
+    from stereomatch_tpu.parallel.mst_mesh import make_cand_mesh, mst_pms_optimize_mesh
+
+    fa, vol = small_problem
+    cpus = _cpu_devices(n_dev)
+    cfg = MSTConfig(max_disp=10, iterations=6)
+    key = jax.random.PRNGKey(3)
+
+    a1, b1, c1, m1 = mst_pms_optimize(
+        jax.device_put(key, cpus[0]), jax.device_put(vol, cpus[0]),
+        jax.tree.map(lambda x: jax.device_put(x, cpus[0]), fa),
+        cfg, max_neighbors=3, iterations=6,
+    )
+    mesh = make_cand_mesh(n_dev, devices=cpus[:n_dev])
+    a2, b2, c2, m2 = mst_pms_optimize_mesh(
+        key, vol, fa, mesh, cfg, max_neighbors=3, iterations=6
+    )
+    # candidate values are identical by construction (global-index RNG), but
+    # tree_filter runs with different batch shapes, so costs differ at fp32
+    # rounding (~1e-7) and a near-exact tie can flip to a different winner.
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-6)
+    flipped = np.abs(np.asarray(c2) - np.asarray(c1)) > 1e-3
+    assert flipped.mean() < 0.02, flipped.mean()
+    same = ~flipped
+    np.testing.assert_allclose(
+        np.asarray(a2)[same], np.asarray(a1)[same], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b2)[same], np.asarray(b1)[same], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_chunked_matches_unchunked(small_problem):
+    """candidate_chunk (production memory bound) is result-identical."""
+    fa, vol = small_problem
+    cpus = _cpu_devices(1)
+    cfg = MSTConfig(max_disp=10, iterations=5)
+    key = jax.device_put(jax.random.PRNGKey(7), cpus[0])
+    vol = jax.device_put(vol, cpus[0])
+    fa = jax.tree.map(lambda x: jax.device_put(x, cpus[0]), fa)
+
+    a1, b1, c1, m1 = mst_pms_optimize(
+        key, vol, fa, cfg, max_neighbors=3, iterations=5
+    )
+    a2, b2, c2, m2 = mst_pms_optimize(
+        key, vol, fa, cfg, max_neighbors=3, iterations=5, candidate_chunk=4
+    )
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-6, atol=1e-7)
