@@ -84,8 +84,27 @@ def build_forest(
 
     edge_w_right: (H, W-1) float32 weights between (y,x)-(y,x+1);
     edge_w_down: (H-1, W) between (y,x)-(y+1,x). See Forest for outputs.
+
+    Falls back to the pure-Python builder (pyforest.py: Borůvka partition
+    + numpy forest construction) when the native toolchain is unavailable.
     """
-    lib = _load()
+    try:
+        lib = _load()
+    except Exception as exc:  # no compiler / load failure
+        import warnings
+
+        from .pyforest import build_forest_fallback
+
+        warnings.warn(
+            f"native forest builder unavailable ({exc!r}); using the "
+            "pure-Python Borůvka fallback (slower, statistically "
+            "equivalent partition)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return build_forest_fallback(
+            edge_w_right, edge_w_down, c, min_size, gamma, delta
+        )
     h, wm1 = edge_w_right.shape
     hm1, w = edge_w_down.shape
     assert wm1 == w - 1 and hm1 == h - 1, (edge_w_right.shape, edge_w_down.shape)

@@ -74,9 +74,17 @@ def boruvka_segment(
 
     parent0 = jnp.arange(n, dtype=jnp.int32)
     size0 = jnp.ones(n, jnp.int32)
-    thr0 = jnp.full(n, jnp.float32(c))
+    wint0 = jnp.zeros(n, jnp.float32)  # max internal (merged-edge) weight
 
-    def do_round(parent, size, thr, gate):
+    def do_round(state, gate):
+        parent, size, wint = state
+        me = jnp.arange(n, dtype=jnp.int32)
+        # Kruskal's adaptive threshold, evaluated from PERSISTENT per-
+        # component state: thr(C) = w_internal_max(C) + c/|C| (the round-1
+        # version re-derived thr from only the CURRENT round's merges, so a
+        # component that sat out one round collapsed its threshold to
+        # c/|C| and merging stalled — badly under-merging vs the oracle)
+        thr = wint + jnp.float32(c) / jnp.maximum(size, 1).astype(jnp.float32)
         ra = parent[ea]
         rb = parent[eb]
         cross = ra != rb
@@ -99,30 +107,30 @@ def boruvka_segment(
         be = jnp.clip(best_e, 0, ea.shape[0] - 1)
         ra_e = parent[ea[be]]
         rb_e = parent[eb[be]]
-        me = jnp.arange(n, dtype=jnp.int32)
         other = jnp.where(ra_e == me, rb_e, ra_e)
         # hook roots to their chosen neighbor root when that root is smaller
         # (hook-to-min guarantees acyclic hooks); larger-id side waits for a
         # later round if the smaller side didn't pick it
-        hook = jnp.where(has & (other < me) & (parent == me), other, me)
+        hooked = has & (other < me) & (parent == me)
+        hook = jnp.where(hooked, other, me)
         p = jnp.where(parent == me, hook, parent)
         p = _pointer_jump(p, 12)
-        # update sizes/thresholds at the new roots
+        # fold sizes and internal-max weights into the new roots
         new_size = jnp.zeros(n, jnp.int32).at[p].add(1)
-        # threshold: w_edge + c/|C| with w_edge ~ the max gating weight used;
-        # approximate Kruskal's "last internal weight" by the best_w of the
-        # winning hook, folded with a min over merged parties
-        used_w = jnp.where(has & (other < me), best_w[me], jnp.float32(0.0))
-        max_used = jnp.zeros(n).at[p].max(used_w)
-        new_thr = max_used + jnp.float32(c) / jnp.maximum(new_size, 1).astype(jnp.float32)
-        return p, new_size, new_thr
+        contrib = jnp.where(
+            parent == me,
+            jnp.maximum(wint, jnp.where(hooked, best_w[me], 0.0)),
+            0.0,
+        )
+        new_wint = jnp.zeros(n).at[p].max(contrib)
+        return p, new_size, new_wint
 
-    parent, size, thr = parent0, size0, thr0
+    state = (parent0, size0, wint0)
     for _ in range(rounds):
-        parent, size, thr = do_round(parent, size, thr, True)
+        state = do_round(state, True)
     for _ in range(merge_rounds):
-        parent, size, thr = do_round(parent, size, thr, False)
-    return parent.reshape(h, w)
+        state = do_round(state, False)
+    return state[0].reshape(h, w)
 
 
 def segment_image(bgr, c: float = 5000.0, min_size: int = 200, **kw):
