@@ -41,6 +41,7 @@ __all__ = [
     "patchmatch_stereo",
     "planes_to_disparity",
     "plane_fill_occluded",
+    "plane_fill_occluded_best_cost",
 ]
 
 
@@ -220,6 +221,77 @@ def plane_fill_occluded(planes: PlaneState, valid: jax.Array) -> jax.Array:
     return jnp.where(valid, d, fill)
 
 
+def plane_fill_occluded_best_cost(
+    planes: PlaneState,
+    valid: jax.Array,
+    base_bgr: jax.Array,
+    base_gray: jax.Array,
+    match_gray: jax.Array,
+    cfg: PatchMatchConfig,
+    sign: int,
+    k: int = 4,
+    match_bgr: jax.Array | None = None,
+    base_grad: jax.Array | None = None,
+    match_grad: jax.Array | None = None,
+) -> jax.Array:
+    """GPU-style occlusion fill: each occluded pixel takes the VALID donor
+    whose (normal, disparity) evaluates to the lowest window cost AT this
+    pixel (ref: fillInOccluded scanning +-cols/4 on the row and keeping the
+    min-evaluateCost candidate, src/PatchMatchStereoGPU.cu:2190-2224; the
+    donor's own disparity value is used directly, not plane-extended).
+
+    TPU redesign: instead of a serial +-cols/4 scan per pixel, the candidate
+    set is the k nearest valid pixels on each side (occlusions are
+    contiguous spans, so near donors dominate the reference's scan), each
+    found by iterating the nearest-valid index scan: L_{j+1}[x] =
+    L_1[L_j[x] - 1]. Each of the 2k donors costs one vectorized plane_cost
+    pass. Donors beyond +-W/4 are excluded like the reference; pixels with
+    no in-range donor fall back to disparity 0 (ref best_disp init,
+    .cu:2185). Returns the filled disparity map.
+    """
+    nx, ny, d = planes
+    h, w = d.shape
+    xs = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
+    max_reach = w // 4
+
+    l1 = jax.lax.cummax(jnp.where(valid, xs, -1), axis=1)
+    r1 = jax.lax.cummin(jnp.where(valid, xs, w), axis=1, reverse=True)
+
+    donor_idx = []
+    lj, rj = l1, r1
+    for _ in range(k):
+        donor_idx.append(lj)
+        donor_idx.append(rj)
+        # next-nearest: re-read the first-nearest scan one column past the
+        # current donor (sentinels -1 / w propagate naturally via clip+mask)
+        lj = jnp.where(
+            lj > 0, jnp.take_along_axis(l1, jnp.clip(lj - 1, 0, w - 1), axis=1), -1
+        )
+        rj = jnp.where(
+            rj < w - 1,
+            jnp.take_along_axis(r1, jnp.clip(rj + 1, 0, w - 1), axis=1),
+            w,
+        )
+
+    best_cost = jnp.full((h, w), 1e10)
+    best_disp = jnp.zeros((h, w))
+    for idx in donor_idx:
+        in_range = (idx >= 0) & (idx < w) & (jnp.abs(idx - xs) <= max_reach)
+        sx = jnp.clip(idx, 0, w - 1)
+        g = lambda a: jnp.take_along_axis(a, sx, axis=1)  # noqa: E731
+        cand = PlaneState(g(nx), g(ny), g(d))
+        c = plane_cost(
+            base_bgr, base_gray, match_gray, cand, cfg, sign,
+            match_bgr=match_bgr, base_grad=base_grad, match_grad=match_grad,
+        )
+        c = jnp.where(in_range, c, 1e10)
+        better = c < best_cost
+        best_cost = jnp.where(better, c, best_cost)
+        best_disp = jnp.where(better, cand.d, best_disp)
+
+    return jnp.where(valid, d, best_disp)
+
+
 def _view_transform(other: PlaneState, sign: int, w: int) -> PlaneState:
     """Plane candidates from the other view: each pixel takes the other
     view's plane at its match column (ref: view propagation,
@@ -307,7 +379,7 @@ def patchmatch_stereo(
         md, mn = md * 0.5, mn * 0.5
     deltas = jnp.asarray(n_refine, jnp.float32)  # (R, 2)
 
-    def update_view(key_i, planes, cost, other, base, sign):
+    def update_view(key_i, jump, planes, cost, other, base, sign):
         def try_candidate(state, cand: PlaneState):
             pl, c = state
             c_new = cost_of(cand, base, sign)
@@ -320,9 +392,18 @@ def patchmatch_stereo(
             return (pl, jnp.where(better, c_new, c))
 
         state = (planes, cost)
-        # spatial propagation: 4-neighborhood plane maps; the candidate
-        # plane's d is re-evaluated at OUR pixel through its (a, b, c)
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        # spatial propagation: 4-neighborhood plane maps PLUS 4 long-range
+        # "jump" candidates at a per-iteration distance (descending powers
+        # of two). Jacobi unit-neighbor exchange moves information 1 px per
+        # round, while the reference's raster sweeps cross the image in ONE
+        # kernel launch (.cu:1762-1765, pm.cpp:497-514) — jump flooding is
+        # the standard parallel substitute that restores that reach in
+        # O(log max(H, W)) rounds. The candidate plane's d is re-evaluated
+        # at OUR pixel through its (a, b, c).
+        for dy, dx in (
+            (1, 0), (-1, 0), (0, 1), (0, -1),
+            (jump, 0), (-jump, 0), (0, jump), (0, -jump),
+        ):
             nb = shift_planes(planes, dy, dx)
             nz = _nz(nb.nx, nb.ny)
             xs = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -359,15 +440,23 @@ def patchmatch_stereo(
         state = jax.lax.fori_loop(0, deltas.shape[0], refine, state)
         return state
 
-    def round_(carry, key_i):
+    def round_(carry, inp):
+        key_i, jump = inp
         left, right, cost_l, cost_r = carry
         k1, k2 = jax.random.split(key_i)
-        left, cost_l = update_view(k1, left, cost_l, right, 0, -1)
-        right, cost_r = update_view(k2, right, cost_r, left, 1, +1)
+        left, cost_l = update_view(k1, jump, left, cost_l, right, 0, -1)
+        right, cost_r = update_view(k2, jump, right, cost_r, left, 1, +1)
         return (left, right, cost_l, cost_r), None
 
     keys = jax.random.split(kloop, iters)
+    # jump-flood schedule: max(H, W)/4 halving to 2, cycled if iters exceeds
+    # the number of levels
+    m = max(h, w) // 4
+    levels = [max(2, m >> k) for k in range(max(1, m.bit_length() - 1))]
+    jumps = jnp.asarray(
+        [levels[k % len(levels)] for k in range(iters)], jnp.int32
+    )
     (left, right, cost_l, cost_r), _ = jax.lax.scan(
-        round_, (left, right, cost_l, cost_r), keys
+        round_, (left, right, cost_l, cost_r), (keys, jumps)
     )
     return left, right, cost_l, cost_r

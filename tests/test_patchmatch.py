@@ -109,3 +109,42 @@ def test_patchmatch_converges_to_shift(rng):
     inner = dl[10:-10, 14:-14]
     frac_good = (np.abs(inner - true_d) < 1.0).mean()
     assert frac_good > 0.8, frac_good
+
+
+def test_plane_fill_best_cost_prefers_low_cost_donor(rng):
+    """GPU fillInOccluded semantics (.cu:2190-2224): the occluded pixel takes
+    the donor whose plane EVALUATES best at it — not the lower disparity.
+    A wrong low-disparity donor on one side must lose to the correct one."""
+    from stereomatch_tpu.ops.patchmatch import plane_fill_occluded_best_cost
+
+    true_d = 5
+    left, right = _shifted_pair(rng, h=40, w=80, true_d=true_d)
+    h, w = left.shape[:2]
+    gray = lambda im: 0.114 * im[..., 0] + 0.587 * im[..., 1] + 0.299 * im[..., 2]
+    cfg = PatchMatchConfig(min_disp=0, max_disp=12, window_size=15, tap_stride=3)
+
+    d = np.full((h, w), float(true_d), np.float32)
+    d[:, 55:] = 2.0  # wrong, LOWER-disparity donors on the right
+    planes = PlaneState(
+        jnp.zeros((h, w)), jnp.zeros((h, w)), jnp.asarray(d)
+    )
+    valid = np.zeros((h, w), bool)
+    valid[:, :25] = True
+    valid[:, 55:] = True
+
+    out = np.asarray(
+        plane_fill_occluded_best_cost(
+            planes, jnp.asarray(valid),
+            jnp.asarray(left), gray(jnp.asarray(left)), gray(jnp.asarray(right)),
+            cfg, -1,
+        )
+    )
+    # valid pixels untouched
+    np.testing.assert_allclose(out[:, :25], true_d)
+    np.testing.assert_allclose(out[:, 55:], 2.0)
+    # columns where BOTH donor sides are within the +-W/4=20 reach: the
+    # CORRECT donor must win on cost despite its higher disparity
+    # (plane_fill_occluded's min-disparity rule would pick 2.0 instead)
+    inner = out[8:-8, 36:44]
+    frac = (np.abs(inner - true_d) < 0.5).mean()
+    assert frac > 0.9, frac
