@@ -217,8 +217,8 @@ class CoupledConfig:
     # AL-WTA variant (MCCNN_ALTV_CostVolumeWTA + TGV): lambda_d weights the
     # volume term; theta_inv grows by 1/(1 - beta*i) per round (.cu:7532)
     lambda_d: float = 1.0
-    theta_inv0: float = 2.0
-    beta_anneal: float = 0.02
+    theta_inv0: float = 1.0
+    beta_anneal: float = 0.01
 
 
 @dataclass(frozen=True)
@@ -239,11 +239,15 @@ class MSTConfig:
     # most this bound, so the exp-factorized Euler-tour aggregation stays
     # well-conditioned in fp32 (worst-case cancellation ~ eps * e^{2*range}).
     # Cross-segment aggregation is restored by `carry_iters` rounds of carry
-    # injection (paths crossing more than carry_iters cuts keep weight
-    # <= e^{-carry_iters * range} ~ 2e-9 at the defaults — numerically zero
-    # in the reference's own accumulation).
+    # injection: paths crossing more than carry_iters cuts are dropped, and
+    # such a path's weight is <= e^{-(carry_iters+1) * range} — 6e-6 at the
+    # defaults (2, 4.0), already below the fp32 noise floor of the
+    # aggregation itself (~eps * e^{2*range} ~ 3e-4). Each extra round
+    # costs two more full Euler-prefix passes per tree_filter, so keep this
+    # minimal; 5 is paranoia-level (2e-9 x cheaper passes were the round-1
+    # default before the at-scale runtime was measured).
     max_log_range: float = 4.0
-    carry_iters: int = 5
+    carry_iters: int = 2
 
 
 @dataclass(frozen=True)
