@@ -255,23 +255,43 @@ a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), jnp.asarray(vol), fa,
                                candidate_chunk=4)
 np.asarray(mc)
 t2 = time.time()
+# analytic bytes/iteration: K candidates x (carry_iters+1)*2 Euler-prefix
+# passes, each ~10 blocked-scan levels over 2N f32 events read+write, plus
+# ~6 N-sized gather/scatters per pass (in/out_pos, parents, label_cost)
+K = 4 + 9
+n2 = 2 * h * w
+passes = (cfg.carry_iters + 1) * 2
+gb_iter = K * passes * (10 * n2 * 4 * 2 + 6 * h * w * 4) / 1e9
+dt = (t2 - t1)
 print(json.dumps({"compile_s": round(t1 - t0, 1),
-                  "ms_per_iteration": round((t2 - t1) * 1e3, 1)}))
+                  "ms_per_iteration": round(dt * 1e3, 1),
+                  "analytic_gb_per_iteration": round(gb_iter, 1),
+                  "achieved_gbps": round(gb_iter / dt, 2),
+                  "v5e_roofline_s_per_iteration": round(gb_iter / 819.0, 2)}))
 """
     _subprocess_probe("mst_1280x960x128", mst_code, 1500, extra)
 
-    # ---- Pallas SGBM backend: try-compile with timeout ----
+    # ---- Pallas SGBM backend: try-compile with timeout, small then full
+    # size (the tunnel's remote compiler handles small shapes but has
+    # returned HTTP 500 at 1280x960x128 — record whatever happens) ----
     pallas_code = r"""
 import time, json
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.ops.sgbm_pallas import aggregate_8path_pallas
-c = jnp.asarray(np.random.default_rng(0).random((128, 256, 128), np.float32))
-t0 = time.time()
-s = jax.jit(lambda c: aggregate_8path_pallas(c, 24.0, 96.0, 8))(c)
-np.asarray(s[0, 0, :4])
-print(json.dumps({"compile_and_run_s": round(time.time() - t0, 1)}))
+out = {}
+for tag, (h, w, d) in (("small_128x256x128", (128, 256, 128)),
+                       ("full_960x1280x128", (960, 1152, 128))):
+    c = jnp.asarray(np.random.default_rng(0).random((h, w, d), np.float32))
+    t0 = time.time()
+    try:
+        s = jax.jit(lambda c: aggregate_8path_pallas(c, 24.0, 96.0, 8))(c)
+        np.asarray(s[0, 0, :4])
+        out[tag] = {"status": "ok", "compile_and_run_s": round(time.time() - t0, 1)}
+    except Exception as e:
+        out[tag] = {"status": "error", "error": str(e)[:160]}
+print(json.dumps(out))
 """
-    _subprocess_probe("pallas_sgbm", pallas_code, 300, extra)
+    _subprocess_probe("pallas_sgbm", pallas_code, 600, extra)
 
     print(
         json.dumps(
