@@ -16,6 +16,11 @@ Algorithms:
             AD+gradient volume + guided filter + WTA + Huber denoise
             (costVolumeStereoPlusVariationalDenoise)
   mst       Stereo3DMST segment-tree pipeline (src/Stereo3DMST.cpp)
+  pm        slanted-plane PatchMatch (src/pm.cpp adgrad metric + LR/fill/
+            median post; src/PatchMatchStereoGPU.cu:2602-3023)
+  coupled   coupled PatchMatch<->Huber-ROF alternation over the built-in
+            cost volume (the reference's Family-E scheme, live —
+            models/coupled.py)
 
 Outputs: -o disparity PNG, -p point cloud (.ply/.pcd/.xyz), requires -i
 (intrinsics+extrinsics FileStorage) for rectification/reprojection unless
@@ -36,7 +41,8 @@ def main(argv=None):
     ap.add_argument("left")
     ap.add_argument("right")
     ap.add_argument("--algorithm", default="hh",
-                    choices=["bm", "sgbm", "hh", "sgbm3way", "census", "costvolume", "mst"])
+                    choices=["bm", "sgbm", "hh", "sgbm3way", "census",
+                             "costvolume", "mst", "pm", "coupled"])
     ap.add_argument("--blocksize", type=int, default=5)
     ap.add_argument("--max-disparity", type=int, default=128)
     ap.add_argument("--scale", type=float, default=1.0)
@@ -124,6 +130,33 @@ def main(argv=None):
         )
         with timer.stage("costvolume"):
             disp, _ = costvolume_pipeline(left, right, cfg, lr_check=True)
+    elif a.algorithm == "pm":
+        from ..config import PatchMatchConfig
+        from ..pipelines import patchmatch_pipeline
+
+        cfg = PatchMatchConfig(
+            max_disp=float(nd - 1), iterations=10, metric="adgrad"
+        )
+        with timer.stage("pm"):
+            disp, _ = patchmatch_pipeline(left, right, cfg)
+    elif a.algorithm == "coupled":
+        from ..config import CoupledConfig
+        from ..models.coupled import coupled_patchmatch_stereo
+        from ..pipelines import to_bgr255
+        from .stereo_yin import builtin_cost_volumes
+        import jax
+
+        with timer.stage("coupled"):
+            lvol, _ = builtin_cost_volumes(
+                jnp.asarray(np.asarray(left, np.float32)),
+                jnp.asarray(np.asarray(right, np.float32)),
+                nd,
+            )
+            out = coupled_patchmatch_stereo(
+                jax.random.PRNGKey(0), to_bgr255(left), lvol,
+                CoupledConfig(max_disp=nd - 1),
+            )
+        disp = np.asarray(out.smoothed)
     else:  # mst
         from ..config import MSTConfig
         from ..models.mst import mst_stereo
