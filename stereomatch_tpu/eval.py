@@ -19,6 +19,8 @@ __all__ = [
     "disparity_metrics",
     "load_golden_png",
     "load_kitti_disparity",
+    "load_middlebury_pfm",
+    "save_middlebury_pfm",
 ]
 
 
@@ -85,3 +87,30 @@ def load_kitti_disparity(path: str) -> tuple[np.ndarray, np.ndarray]:
     raw = np.asarray(Image.open(path)).astype(np.float32)
     valid = raw > 0
     return raw / 256.0, valid
+
+
+def load_middlebury_pfm(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Middlebury ground-truth disparity (.pfm, grayscale float): header
+    'Pf', 'W H', scale (sign = endianness), rows bottom-to-top. Invalid
+    pixels are inf. Returns (disparity, valid_mask)."""
+    with open(path, "rb") as f:
+        if f.readline().strip() not in (b"Pf",):
+            raise ValueError(f"{path}: not a grayscale PFM")
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        dtype = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(4 * w * h), dtype=dtype).reshape(h, w)
+    disp = np.flipud(data).astype(np.float32)  # PFM rows are bottom-up
+    valid = np.isfinite(disp) & (disp > 0)
+    return disp, valid
+
+
+def save_middlebury_pfm(path: str, disp: np.ndarray) -> None:
+    """Write a grayscale little-endian PFM (inf = invalid)."""
+    disp = np.asarray(disp, np.float32)
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{disp.shape[1]} {disp.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.flipud(disp).astype("<f4").tobytes())

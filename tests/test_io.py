@@ -150,3 +150,20 @@ def test_kitti_disparity_uint16_roundtrip(tmp_path):
     # quantization error <= 1/512
     np.testing.assert_allclose(d[valid], d_true[valid_true], atol=1.0 / 256.0)
     assert (d[~valid] == 0).all()
+
+
+def test_middlebury_pfm_roundtrip():
+    """Grayscale PFM (Middlebury GT format: bottom-up rows, negative scale
+    = little endian, inf = invalid) survives a write/read round-trip."""
+    from stereomatch_tpu.eval import load_middlebury_pfm, save_middlebury_pfm
+
+    rng = np.random.default_rng(5)
+    d = rng.uniform(0.1, 192.0, size=(23, 31)).astype(np.float32)
+    d[4:7, 9:12] = np.inf  # invalid region
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "disp0.pfm")
+        save_middlebury_pfm(p, d)
+        got, valid = load_middlebury_pfm(p)
+    assert got.shape == d.shape
+    assert not valid[5, 10] and valid[0, 0]
+    np.testing.assert_allclose(got[valid], d[np.isfinite(d) & (d > 0)])
