@@ -175,18 +175,23 @@ def _shift_carry(l, k):
     return jnp.concatenate([l[1:], jnp.zeros_like(l[:1])], axis=0)
 
 
-def _row_scan_dirs(c_rows, init_carry, p1, p2, ndir):
-    """Scan rows ascending with an (ndir, W, D) carry (directions: vertical,
+def _row_scan_dirs(c_rows, init_carry, p1, p2, ndir, reverse: bool = False):
+    """Scan rows with an (ndir, W, D) carry (directions: vertical,
     diagonal-from-left, diagonal-from-right). Blocked: each lax.scan step
     consumes a block of rows with the recurrence unrolled inside, so
     per-step overhead amortizes while the carry stays on-chip.
+
+    reverse=True scans bottom-up via lax.scan(reverse=True) — outputs stay
+    in ORIGINAL row order, so callers never materialize jnp.flip copies of
+    volume-sized arrays (each flip was a full HBM pass).
     Returns (per-row direction-summed Lr (H, W, D), final carry)."""
     h, w, d = c_rows.shape
     kb = _scan_block(h)
 
     def step(carry, c_block):  # c_block (kb, W, D)
-        outs = []
-        for j in range(kb):
+        outs = [None] * kb
+        rows = range(kb - 1, -1, -1) if reverse else range(kb)
+        for j in rows:
             new = []
             total = None
             for k in range(ndir):
@@ -196,37 +201,43 @@ def _row_scan_dirs(c_rows, init_carry, p1, p2, ndir):
                 new.append(l)
                 total = l if total is None else total + l
             carry = jnp.stack(new)
-            outs.append(total)
+            outs[j] = total
         return carry, jnp.stack(outs)
 
-    final, ys = jax.lax.scan(step, init_carry, c_rows.reshape(h // kb, kb, w, d))
+    final, ys = jax.lax.scan(
+        step, init_carry, c_rows.reshape(h // kb, kb, w, d), reverse=reverse
+    )
     return ys.reshape(h, w, d), final
 
 
 def _col_scans_ew(cost, p1, p2):
-    """E and W direction sums (full-width column scans; per-row local)."""
+    """E and W direction sums (full-width column scans; per-row local).
+    One transpose each way; the W direction uses a reversed scan instead
+    of flip copies."""
     h, w, d = cost.shape
     kb = _scan_block(w)
 
-    def col_scan(c_cols):
+    def col_scan(c_cols, reverse):
         def step(lp, c_block):  # (kb, H, D)
-            outs = []
-            for j in range(kb):
+            outs = [None] * kb
+            rows = range(kb - 1, -1, -1) if reverse else range(kb)
+            for j in rows:
                 mp = jnp.min(lp, axis=-1, keepdims=True)
                 lp = c_block[j] + _dp_candidates(lp, mp, p1, p2)
-                outs.append(lp)
+                outs[j] = lp
             return lp, jnp.stack(outs)
 
         # derive the zero carry from the input so its sharding "varying"
         # status matches under shard_map (scan requires carry-in == carry-out)
         init = jnp.zeros((h, d), cost.dtype) + 0 * cost[0, 0, 0]
-        _, ys = jax.lax.scan(step, init, c_cols.reshape(w // kb, kb, h, d))
+        _, ys = jax.lax.scan(
+            step, init, c_cols.reshape(w // kb, kb, h, d), reverse=reverse
+        )
         return ys.reshape(w, h, d)
 
     ct = jnp.swapaxes(cost, 0, 1)
-    s = jnp.swapaxes(col_scan(ct), 0, 1)
-    s = s + jnp.swapaxes(jnp.flip(col_scan(jnp.flip(ct, axis=0)), axis=0), 0, 1)
-    return s
+    s = col_scan(ct, False) + col_scan(ct, True)
+    return jnp.swapaxes(s, 0, 1)
 
 
 def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
@@ -242,9 +253,8 @@ def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -
     # 0*cost[...] keeps the carry's shard_map varying-axes in sync with cost
     init = jnp.zeros((ndir,) + cost.shape[1:], cost.dtype) + 0 * cost[0, 0, 0]
     s, _ = _row_scan_dirs(cost, init, p1, p2, ndir)
-    up, _ = _row_scan_dirs(jnp.flip(cost, axis=0), init, p1, p2, ndir)
-    s = s + jnp.flip(up, axis=0)
-    return s + _col_scans_ew(cost, p1, p2)
+    up, _ = _row_scan_dirs(cost, init, p1, p2, ndir, reverse=True)
+    return s + up + _col_scans_ew(cost, p1, p2)
 
 
 class SGBMOutput(NamedTuple):
@@ -435,20 +445,21 @@ def sgbm_disparity_banded(
     # --- upward sweep: record the up-carry ENTERING each band (from the
     # band below it) ---
     def up_step(carry, b):
-        c_b = jnp.flip(band_cost(nbands - 1 - b), axis=0)
-        _, new_carry = _row_scan_dirs(c_b, carry, p1, p2, ndir)
+        _, new_carry = _row_scan_dirs(
+            band_cost(b), carry, p1, p2, ndir, reverse=True
+        )
         return new_carry, carry
 
     carry0 = jnp.zeros((ndir, w, nd), band_cost(0).dtype)
-    _, up_in = jax.lax.scan(up_step, carry0, jnp.arange(nbands))
-    up_in = jnp.flip(up_in, axis=0)  # up_in[b] = carry entering band b
+    _, up_in = jax.lax.scan(up_step, carry0, jnp.arange(nbands), reverse=True)
+    # up_in[b] = carry entering band b (reverse scan stacks in band order)
 
     # --- downward sweep: finish each band and reduce it immediately ---
     def down_step(carry, b):
         c_b = band_cost(b)
         s, new_carry = _row_scan_dirs(c_b, carry, p1, p2, ndir)
-        up_ys, _ = _row_scan_dirs(jnp.flip(c_b, axis=0), up_in[b], p1, p2, ndir)
-        s = s + jnp.flip(up_ys, axis=0)
+        up_ys, _ = _row_scan_dirs(c_b, up_in[b], p1, p2, ndir, reverse=True)
+        s = s + up_ys
         s = s + _col_scans_ew(c_b, p1, p2)
         out_b, valid_b = _select_from_aggregated(s, cfg, margin, w_full)
         return new_carry, (out_b, valid_b)

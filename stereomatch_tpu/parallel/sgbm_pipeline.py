@@ -109,7 +109,7 @@ def sgbm_pipeline_mesh(
             c_b = band_cost(fc)
             carry_use = jnp.where(active, carry_in, zero_carry)
             _, out_carry = _row_scan_dirs(
-                jnp.flip(c_b, axis=0), carry_use, p1, p2, ndir
+                c_b, carry_use, p1, p2, ndir, reverse=True
             )
             up_buf = up_buf.at[fc].set(
                 jnp.where(active, carry_use, up_buf[fc])
@@ -134,9 +134,9 @@ def sgbm_pipeline_mesh(
             carry_use = jnp.where(active, carry_in, zero_carry)
             s, out_carry = _row_scan_dirs(c_b, carry_use, p1, p2, ndir)
             up_ys, _ = _row_scan_dirs(
-                jnp.flip(c_b, axis=0), up_buf[fc], p1, p2, ndir
+                c_b, up_buf[fc], p1, p2, ndir, reverse=True
             )
-            s = s + jnp.flip(up_ys, axis=0)
+            s = s + up_ys
             s = s + _col_scans_ew(c_b, p1, p2)
             d_b, v_b = _select_from_aggregated(s, cfg, margin, w_full)
             disp_out = disp_out.at[fc].set(jnp.where(active, d_b, disp_out[fc]))
