@@ -100,10 +100,11 @@ def main():
 
     # ---- analytic roofline (volume = H*W*D elements; passes = full
     # read-or-write traversals of a volume-sized array in the program:
-    # cost build 1W + block-sum 2RW(4) + margin copy ~0 + row scans
-    # down/up (R+W + R+W+acc ~5) + col scans E/W (~4) + selection
-    # reductions (~2R) ~= 16 volume passes f32) ----
-    passes = 16
+    # cost build 1W + block-sum cumsums ~4 + row scans down/up (2x R+W,
+    # flip-free via reverse scans) + E/W (1 transpose each way + 2 scans
+    # sharing the read ~4) + selection reductions (~2R) ~= 13 volume
+    # passes f32) ----
+    passes = 13
     vol_bytes = h * w * d * 4
     bytes_frame = passes * vol_bytes
     gbps = bytes_frame / dt / 1e9

@@ -61,6 +61,11 @@ class ForestArrays(NamedTuple):
     tree_id: jax.Array  # (N,) int32
     seg_root: jax.Array  # (N,) bool
     euler_reset: jax.Array  # (2N,) bool, True at each segment's first event
+    euler_src: jax.Array  # (2N,) int32: the node whose in/out event this is
+    euler_is_in: jax.Array  # (2N,) bool: True at in events
+    seg_carry_nodes: jax.Array  # (Sc,) int32: non-tree-root segment roots
+    seg_carry_parent: jax.Array  # (Sc,) int32: their cut parents
+    seg_carry_w: jax.Array  # (Sc,) f32: w_exp there (0 at padding)
     tree_start: jax.Array  # (T+1,) int32 (padded to Tmax+1)
     adj_start: jax.Array  # (T+1,) int32
     adj_list: jax.Array  # (M,) int32
@@ -75,6 +80,26 @@ def forest_arrays(forest) -> ForestArrays:
     seg_root = forest.seg_root_mask()
     euler_reset = np.zeros(2 * n, bool)
     euler_reset[forest.in_pos[seg_root]] = True
+    # every Euler position is the in- OR out-event of exactly one node;
+    # precomputing that (static) map turns the per-pass event scatters
+    # into gathers (scatters serialize on TPU, gathers vectorize)
+    euler_src = np.zeros(2 * n, np.int32)
+    euler_is_in = np.zeros(2 * n, bool)
+    euler_src[forest.in_pos] = np.arange(n, dtype=np.int32)
+    euler_src[forest.out_pos] = np.arange(n, dtype=np.int32)
+    euler_is_in[forest.in_pos] = True
+    # carry-injection support: only NON-tree-root segment roots inject
+    # carries across cuts, so the per-round scatter-add touches Sc << N
+    # elements (padded to >= 1 with a zero-weight dummy)
+    is_tree_root = forest.parent_node == np.arange(n, dtype=np.int32)
+    sc_nodes = np.nonzero(seg_root & ~is_tree_root)[0].astype(np.int32)
+    if sc_nodes.size == 0:
+        sc_nodes = np.zeros(1, np.int32)
+        sc_parent = np.zeros(1, np.int32)
+        sc_w = np.zeros(1, np.float32)
+    else:
+        sc_parent = forest.parent_node[sc_nodes]
+        sc_w = forest.w_exp[sc_nodes]
     # keep adj_list non-empty so gathers are well-formed when the forest is
     # a single tree with no neighbors
     adj_list = forest.adj_list
@@ -90,6 +115,11 @@ def forest_arrays(forest) -> ForestArrays:
         tree_id=jnp.asarray(forest.tree_id),
         seg_root=jnp.asarray(seg_root),
         euler_reset=jnp.asarray(euler_reset),
+        euler_src=jnp.asarray(euler_src),
+        euler_is_in=jnp.asarray(euler_is_in),
+        seg_carry_nodes=jnp.asarray(sc_nodes),
+        seg_carry_parent=jnp.asarray(sc_parent),
+        seg_carry_w=jnp.asarray(sc_w),
         tree_start=jnp.asarray(forest.tree_start),
         adj_start=jnp.asarray(forest.adj_start),
         adj_list=jnp.asarray(adj_list),
@@ -150,7 +180,9 @@ def _subtree_sums(t: jax.Array, f: ForestArrays) -> jax.Array:
     t: (..., N) values in node order. Returns (..., N)."""
     n = t.shape[-1]
     shape = t.shape[:-1] + (2 * n,)
-    a = jnp.zeros(shape, t.dtype).at[..., f.in_pos].set(t)
+    # gather formulation: Euler position e holds t[src[e]] at in events, 0
+    # at out events (the old at[].set scatter serialized on TPU)
+    a = jnp.where(f.euler_is_in, t[..., f.euler_src], 0.0)
     p = _segmented_cumsum(a, f.euler_reset)
     # exclusive-at-in, inclusive-at-(out-1): [in(p), out(p)) covers the
     # subtree including p itself. P_inc[out-1] - P_inc[in] + t[in].
@@ -166,11 +198,8 @@ def _ancestor_sums(v: jax.Array, f: ForestArrays) -> jax.Array:
     +enter/-exit prefix. v: (..., N) -> (..., N)."""
     n = v.shape[-1]
     shape = v.shape[:-1] + (2 * n,)
-    b = (
-        jnp.zeros(shape, v.dtype)
-        .at[..., f.in_pos].add(v)
-        .at[..., f.out_pos].add(-v)
-    )
+    # gather formulation: +v at in events, -v at out events
+    b = jnp.where(f.euler_is_in, v[..., f.euler_src], -v[..., f.euler_src])
     q = _segmented_cumsum(b, f.euler_reset)
     return jnp.take_along_axis(q, jnp.broadcast_to(f.in_pos, shape[:-1] + (n,)), -1)
 
@@ -198,16 +227,19 @@ def tree_filter(
     e_neg = jnp.exp(-f.rel_gd)
     e_pos = jnp.exp(f.rel_gd)
     is_tree_root = f.parent_node == jnp.arange(f.parent_node.shape[0])
-    seg_carry = f.seg_root & ~is_tree_root
     w2c = 1.0 - f.w_exp * f.w_exp
 
     # ---- up-sweep with iterated cross-cut carries ----
     t0 = e_neg * c_node
 
     def up_step(_, u):
-        carry = jnp.where(seg_carry, f.w_exp * u, 0.0)
-        inj = jnp.zeros_like(c_node).at[..., f.parent_node].add(carry)
-        return e_pos * _subtree_sums(t0 + e_neg * inj, f)
+        # only the Sc non-tree-root segment roots inject (Sc << N), so the
+        # scatter-add works on Sc elements instead of a full-N scatter
+        cr = f.seg_carry_w * u[..., f.seg_carry_nodes]
+        inj = jnp.zeros_like(c_node).at[..., f.seg_carry_parent].add(
+            e_neg[f.seg_carry_parent] * cr
+        )
+        return e_pos * _subtree_sums(t0 + inj, f)
 
     u = e_pos * _subtree_sums(t0, f)
     u = jax.lax.fori_loop(0, carry_iters, up_step, u)
