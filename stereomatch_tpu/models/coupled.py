@@ -36,7 +36,6 @@ import jax.numpy as jnp
 
 from ..config import CoupledConfig
 from ..ops.coupled import (
-    HuberFields,
     coupled_plane_cost,
     huber_rof_field_step,
     init_fields,

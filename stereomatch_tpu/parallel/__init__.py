@@ -18,5 +18,10 @@ from .halo import halo_exchange_rows  # noqa: F401
 from .tiled import tiled_cost_volume_batch, tiled_cost_volume_stereo  # noqa: F401
 from .tiled2d import make_mesh3, tiled2d_cost_volume_stereo  # noqa: F401
 from .dslab import wta_disparity_dslab  # noqa: F401
+from .multihost import (  # noqa: F401
+    distributed_init,
+    make_host_mesh,
+    tiled2d_cost_volume_batch,
+)
 from .sgbm_mesh import sgbm_batch_mesh  # noqa: F401
 from .sgbm_pipeline import sgbm_pipeline_mesh  # noqa: F401

@@ -209,3 +209,39 @@ def test_tiled2d_no_denoise_close(mesh3, rng):
     tl, tr = fn(left, right)
     _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
     _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
+
+
+def test_multihost_batch_matches_monolithic(rng):
+    """(host, tile_y, tile_x, dslab) frame batch: every frame equals its
+    monolithic single-frame result (the DCN/ICI composition layer,
+    SURVEY §5)."""
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from stereomatch_tpu.parallel import make_host_mesh, tiled2d_cost_volume_batch
+
+    m = make_host_mesh(2, 2, 2, 1, devices=cpus[:8])
+    h, w, d, b = 32, 48, 8, 4
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=2, slab=8),
+        denoise=DenoiseConfig(iterations=8),
+    )
+    left = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    fn = tiled2d_cost_volume_batch(m, (h, w), cfg)
+    dl, dr = fn(left, right)
+    dl, dr = np.asarray(dl), np.asarray(dr)
+    for k in range(b):
+        mono = cost_volume_stereo(_cpu(left[k]), _cpu(right[k]), cfg)
+        _assert_disp_close(dl[k], np.asarray(mono.left_disp))
+        _assert_disp_close(dr[k], np.asarray(mono.right_disp))
+
+
+def test_distributed_init_noop_single_process():
+    from stereomatch_tpu.parallel import distributed_init
+
+    assert distributed_init() is False  # no coordinator env -> no-op
