@@ -12,8 +12,17 @@ disparity maps, mirroring one of the reference's five stereo engines:
   mst         — Stereo3DMST segment-tree aggregation (ref: src/Stereo3DMST.cpp)
   patchmatch  — slanted-plane PatchMatch (ref: src/pm.cpp,
                 src/PatchMatchStereoGPU.cu:2602-3023)
+  coupled     — alternating PatchMatch/WTA <-> variational smoothing (the
+                reference's Family-E scheme, dead there, live here:
+                src/PatchMatchStereoGPU.cu:3273-3581, :3903-4073,
+                :4748-4803, :7331-7727)
 """
 
 from .costvolume import cost_volume_stereo, CostVolumeOutput  # noqa: F401
 from .mst import mst_stereo, MSTOutput, build_view_forest  # noqa: F401
 from .patchmatch import patchmatch_pipeline, PatchMatchOutput  # noqa: F401
+from .coupled import (  # noqa: F401
+    CoupledOutput,
+    coupled_patchmatch_stereo,
+    coupled_wta_stereo,
+)

@@ -31,9 +31,18 @@ from .variational import (  # noqa: F401
     variational_disparity_denoise,
 )
 from .speckle import connected_components, filter_speckles  # noqa: F401
-from .sgbm import sgbm_disparity  # noqa: F401
+from .sgbm import sgbm_disparity, sgbm_disparity_banded  # noqa: F401
+from .bm import bm_disparity  # noqa: F401
 from .tgv import diffusion_tensor, tgv2_refine  # noqa: F401
 from .nltgv import nl2tgv_refine  # noqa: F401
-from .patchmatch import patchmatch_stereo, plane_fill_occluded  # noqa: F401
+from .patchmatch import (  # noqa: F401
+    patchmatch_stereo,
+    plane_fill_occluded,
+    plane_fill_occluded_best_cost,
+)
+from .coupled import (  # noqa: F401
+    huber_rof_field_step,
+    hybrid_plane_cost,
+)
 from .mst import forest_arrays, mst_pms_optimize, tree_filter  # noqa: F401
 from .segmentation import boruvka_segment, segment_image  # noqa: F401

@@ -1,0 +1,70 @@
+"""Application-layer smoke tests: the CLI and app entry points run end to
+end on tiny inputs and write sane artifacts (the reference's executables,
+SURVEY §2.1, minus the interactive viewers)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stereomatch_tpu.io import load_image, save_image
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(tmp_path_factory):
+    """A small textured synthetic pair written to disk for the CLI."""
+    rng = np.random.default_rng(8)
+    h, w, true_d = 48, 96, 6
+    base = (rng.random((h, w + true_d, 3)) * 255).astype(np.float32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    left = base[:, :w].astype(np.uint8)
+    right = base[:, true_d : true_d + w].astype(np.uint8)
+    d = tmp_path_factory.mktemp("cli")
+    lp, rp = os.path.join(d, "l.png"), os.path.join(d, "r.png")
+    save_image(lp, left)
+    save_image(rp, right)
+    return str(d), lp, rp, true_d
+
+
+@pytest.mark.parametrize("alg", ["bm", "hh", "census"])
+def test_cli_engines_write_disparity(tiny_pair, alg):
+    from stereomatch_tpu.apps.cli import main
+
+    d, lp, rp, true_d = tiny_pair
+    out = os.path.join(d, f"disp_{alg}.png")
+    rc = main([lp, rp, "--algorithm", alg, "--max-disparity", "16",
+               "--no-rectify", "-o", out])
+    assert rc == 0 and os.path.exists(out)
+    img = load_image(out)
+    assert img.shape[:2] == (48, 96)
+    assert img.max() > 0  # something was estimated
+
+
+def test_cli_cloud_requires_calib(tiny_pair, capsys):
+    from stereomatch_tpu.apps.cli import main
+
+    d, lp, rp, _ = tiny_pair
+    rc = main([lp, rp, "--algorithm", "hh", "--max-disparity", "16",
+               "--no-rectify", "-p", os.path.join(d, "c.ply")])
+    assert rc == 1  # cloud output needs -i calibration
+
+
+def test_stereo_test_app_runs(tmp_path):
+    """The StereoTest equivalent end to end at 1/8 scale on the bundled
+    FLIR frame (rectify -> SGBM -> Q reprojection -> cloud files)."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps.stereo_test import run
+
+    out = run(
+        data_dir="/root/reference/build",
+        frame_id=20,
+        calib="/root/reference/cam_stereo_pheno.yml",
+        out_dir=str(tmp_path),
+        num_disp_factor=4,
+        scale=0.125,
+        verbose=False,
+    )
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".png") for f in files), files
+    assert any(f.endswith(".pcd") for f in files), files
