@@ -32,7 +32,12 @@ def run(
     max_disp: int = 63,
     n_frame: int | None = None,
     verbose: bool = True,
+    resume: bool = False,
 ):
+    """resume=True skips frames whose output PNG already exists — the
+    streaming checkpoint/restart story (the per-frame artifacts ARE the
+    checkpoints; a killed run restarts where it stopped). The reference
+    has no recovery at all (SURVEY §5)."""
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +45,17 @@ def run(
     from ..parallel.tiled import tiled_cost_volume_batch
 
     timer = StageTimer(verbose=verbose)
+    if resume:
+        os.makedirs(out_dir, exist_ok=True)
+        remaining = [
+            fid for fid in ids
+            if not os.path.exists(os.path.join(out_dir, f"stream_disp_{fid:06d}.png"))
+        ]
+        if verbose and len(remaining) < len(ids):
+            print(f"resume: {len(ids) - len(remaining)} frames already done")
+        ids = tuple(remaining)
+        if not ids:
+            return np.zeros((0,), np.float32)
     step = int(round(1.0 / scale))
     pairs = []
     for fid in ids:
@@ -108,8 +124,11 @@ def main():
     ap.add_argument("--out-dir", default="./out")
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--max-disp", type=int, default=63)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip frames whose output already exists")
     a = ap.parse_args()
-    run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp)
+    run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
+        resume=a.resume)
 
 
 if __name__ == "__main__":

@@ -68,3 +68,21 @@ def test_stereo_test_app_runs(tmp_path):
     files = os.listdir(tmp_path)
     assert any(f.endswith(".png") for f in files), files
     assert any(f.endswith(".pcd") for f in files), files
+
+
+def test_stream_resume_skips_done(tmp_path, monkeypatch):
+    """--resume: frames with existing outputs are skipped (the streaming
+    checkpoint/restart story; the per-frame artifacts are the checkpoints)."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps import stream
+
+    # pretend both frames are already done: run() must be a no-op
+    for fid in (20, 40):
+        open(os.path.join(tmp_path, f"stream_disp_{fid:06d}.png"), "wb").close()
+    out = stream.run(
+        "/root/reference/build", "/root/reference/cam_stereo_pheno.yml",
+        str(tmp_path), ids=(20, 40), scale=0.125, max_disp=15,
+        verbose=False, resume=True,
+    )
+    assert out.size == 0  # nothing recomputed
