@@ -276,7 +276,7 @@ print(json.dumps({"compile_s": round(t1 - t0, 1),
     # size (the tunnel's remote compiler handles small shapes but has
     # returned HTTP 500 at 1280x960x128 — record whatever happens) ----
     pallas_code = r"""
-import time, json
+import time, json, re
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.ops.sgbm_pallas import aggregate_8path_pallas
 out = {}
@@ -289,7 +289,8 @@ for tag, (h, w, d) in (("small_128x256x128", (128, 256, 128)),
         np.asarray(s[0, 0, :4])
         out[tag] = {"status": "ok", "compile_and_run_s": round(time.time() - t0, 1)}
     except Exception as e:
-        out[tag] = {"status": "error", "error": str(e)[:160]}
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e)).splitlines()[0]
+        out[tag] = {"status": "error", "error": msg[:120]}
 print(json.dumps(out))
 """
     _subprocess_probe("pallas_sgbm", pallas_code, 600, extra)
