@@ -10,7 +10,8 @@ Algorithms:
             src/StereoMatching.cpp BMStereo)
   sgbm|hh|sgbm3way
             semi-global matching; hh = full 8-path (MODE_HH, the reference's
-            production setting), sgbm/sgbm3way map to 4-path
+            production setting); sgbm/sgbm3way = the 5-direction
+            single-pass set (cv2 MODE_SGBM parity ~0.05% D1)
   census    ternary census + WTA (src/StereoMatching.cpp:27-114)
   costvolume
             AD+gradient volume + guided filter + WTA + Huber denoise
@@ -99,7 +100,7 @@ def main(argv=None):
             min_disp=0,
             num_disp=nd,
             block_size=a.blocksize,
-            num_paths=8 if a.algorithm == "hh" else 4,
+            num_paths=8 if a.algorithm == "hh" else 5,
         )
         with timer.stage("sgbm"):
             disp = np.asarray(

@@ -69,6 +69,9 @@ class SGBMConfig:
     speckle_window_size: int = 100
     speckle_range: int = 32
     disp12_max_diff: int = 1
+    # 8 = MODE_HH (full 8-path, the reference's production setting);
+    # 5 = MODE_SGBM's single-pass direction set {N, NW, NE, E, W}
+    # (matches cv2 MODE_SGBM to D1 ~ 0.05%); 4 = plain N/S/E/W
     num_paths: int = 8  # MODE_HH
     # "float32" matches OpenCV's int16 arithmetic exactly (integer-valued
     # costs); "bfloat16" halves cost/aggregation HBM (needed for

@@ -241,20 +241,33 @@ def _col_scans_ew(cost, p1, p2):
 
 
 def aggregate_8path(cost: jax.Array, p1: float, p2: float, num_paths: int = 8) -> jax.Array:
-    """Sum of path costs Lr over 8 (or 4: N,S,E,W) directions.
+    """Sum of path costs Lr over 8, 5, or 4 directions.
 
-    cost: (H, W, D) -> (H, W, D). Two row-wise scans carry the {S,SE,SW}
-    (resp. {N,NE,NW}) direction states; the diagonal predecessors are the
-    same recurrence with the carry shifted one column (border refill = 0,
-    which makes Lr = C there, OpenCV's border convention). Two column-wise
-    scans handle E and W.
+    cost: (H, W, D) -> (H, W, D). Row-wise scans carry the {from-N, from-NW,
+    from-NE} (and, for 8 paths, {from-S, from-SE, from-SW}) direction
+    states; the diagonal predecessors are the same recurrence with the
+    carry shifted one column (border refill = 0, which makes Lr = C there,
+    OpenCV's border convention). Two column-wise scans handle E and W.
+
+    num_paths: 8 = MODE_HH (full); 5 = MODE_SGBM's single-pass direction
+    set {N, NW, NE, E, W} (matches cv2 MODE_SGBM to D1 ~ 0.05%);
+    4 = plain N/S/E/W.
     """
-    ndir = 3 if num_paths == 8 else 1
+    if num_paths == 8:
+        ndir, both = 3, True
+    elif num_paths == 5:
+        ndir, both = 3, False
+    elif num_paths == 4:
+        ndir, both = 1, True
+    else:
+        raise ValueError(f"num_paths must be 4, 5 or 8, got {num_paths}")
     # 0*cost[...] keeps the carry's shard_map varying-axes in sync with cost
     init = jnp.zeros((ndir,) + cost.shape[1:], cost.dtype) + 0 * cost[0, 0, 0]
     s, _ = _row_scan_dirs(cost, init, p1, p2, ndir)
-    up, _ = _row_scan_dirs(cost, init, p1, p2, ndir, reverse=True)
-    return s + up + _col_scans_ew(cost, p1, p2)
+    if both:
+        up, _ = _row_scan_dirs(cost, init, p1, p2, ndir, reverse=True)
+        s = s + up
+    return s + _col_scans_ew(cost, p1, p2)
 
 
 class SGBMOutput(NamedTuple):
@@ -406,7 +419,8 @@ def sgbm_disparity_banded(
     """
     p1, p2 = cfg.resolved_p1p2()
     p1, p2 = float(p1), float(p2)
-    ndir = 3 if cfg.num_paths == 8 else 1
+    ndir = 3 if cfg.num_paths in (8, 5) else 1
+    use_up = cfg.num_paths != 5  # MODE_SGBM has no upward paths
     left_gray = left_gray.astype(jnp.float32)
     right_gray = right_gray.astype(jnp.float32)
     h, w_full = left_gray.shape
@@ -443,23 +457,27 @@ def sgbm_disparity_banded(
         return jnp.where((grow < h)[:, None, None], c, 0.0)
 
     # --- upward sweep: record the up-carry ENTERING each band (from the
-    # band below it) ---
-    def up_step(carry, b):
-        _, new_carry = _row_scan_dirs(
-            band_cost(b), carry, p1, p2, ndir, reverse=True
-        )
-        return new_carry, carry
-
+    # band below it); skipped entirely for the 5-path MODE_SGBM set ---
     carry0 = jnp.zeros((ndir, w, nd), band_cost(0).dtype)
-    _, up_in = jax.lax.scan(up_step, carry0, jnp.arange(nbands), reverse=True)
-    # up_in[b] = carry entering band b (reverse scan stacks in band order)
+    if use_up:
+        def up_step(carry, b):
+            _, new_carry = _row_scan_dirs(
+                band_cost(b), carry, p1, p2, ndir, reverse=True
+            )
+            return new_carry, carry
+
+        _, up_in = jax.lax.scan(
+            up_step, carry0, jnp.arange(nbands), reverse=True
+        )
+        # up_in[b] = carry entering band b (reverse scan stacks in order)
 
     # --- downward sweep: finish each band and reduce it immediately ---
     def down_step(carry, b):
         c_b = band_cost(b)
         s, new_carry = _row_scan_dirs(c_b, carry, p1, p2, ndir)
-        up_ys, _ = _row_scan_dirs(c_b, up_in[b], p1, p2, ndir, reverse=True)
-        s = s + up_ys
+        if use_up:
+            up_ys, _ = _row_scan_dirs(c_b, up_in[b], p1, p2, ndir, reverse=True)
+            s = s + up_ys
         s = s + _col_scans_ew(c_b, p1, p2)
         out_b, valid_b = _select_from_aggregated(s, cfg, margin, w_full)
         return new_carry, (out_b, valid_b)

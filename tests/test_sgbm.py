@@ -250,3 +250,51 @@ def test_filter_speckles_vs_opencv(rng):
     cv2.filterSpeckles(ref16, -1, 30, 1)
     got = np.asarray(filter_speckles(jnp.asarray(disp), -1.0, 30, 1.0))
     np.testing.assert_allclose(got, ref16.astype(np.float32))
+
+
+def test_aggregate_5path_oracle(rng):
+    """num_paths=5: the MODE_SGBM direction set {N, NW, NE, E, W}."""
+    cost = rng.random((7, 9, 6)).astype(np.float32) * 10
+    got = np.asarray(aggregate_8path(jnp.asarray(cost), 2.0, 7.0, 5))
+    dirs = [(1, 0), (1, 1), (1, -1), (0, 1), (0, -1)]
+    expect = sum(_dp_path_oracle(cost, 2.0, 7.0, d) for d in dirs)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_sgbm_mode_sgbm_vs_opencv():
+    """num_paths=5 vs cv2 MODE_SGBM end to end."""
+    rng = np.random.default_rng(7)
+    left, right, _ = _make_pair(rng)
+    cfg = SGBMConfig(min_disp=0, num_disp=32, block_size=5, num_paths=5)
+    p1, p2 = cfg.resolved_p1p2()
+    sg = cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=32, blockSize=5, P1=p1, P2=p2,
+        preFilterCap=63, uniquenessRatio=10, speckleWindowSize=0,
+        disp12MaxDiff=1, mode=cv2.STEREO_SGBM_MODE_SGBM,
+    )
+    ref = sg.compute(left, right).astype(np.float32) / 16.0
+    out = sgbm_disparity(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), cfg
+    )
+    mine, mv = np.asarray(out.disparity), np.asarray(out.valid)
+    rv = ref >= 0
+    both = rv & mv
+    err = np.abs(mine[both] - ref[both])
+    assert (err > 1.0).mean() < 0.01, (err > 1.0).mean()
+    assert (rv == mv).mean() > 0.97
+
+
+def test_sgbm_banded_5path_matches_monolithic():
+    """The banded driver skips the up sweep for num_paths=5 and must still
+    equal the monolithic result exactly."""
+    from stereomatch_tpu.ops.sgbm import sgbm_disparity_banded
+
+    rng = np.random.default_rng(3)
+    left, right, _ = _make_pair(rng, h=96, w=160)
+    cfg = SGBMConfig(min_disp=0, num_disp=32, block_size=5, num_paths=5)
+    a = sgbm_disparity(jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), cfg)
+    b = sgbm_disparity_banded(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), cfg, 32
+    )
+    np.testing.assert_allclose(np.asarray(b.disparity), np.asarray(a.disparity), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(b.valid), np.asarray(a.valid))
