@@ -51,8 +51,13 @@ def _subprocess_probe(tag, code, timeout, extra, env=None):
             env={**os.environ, **(env or {})},
         )
         ms = (time.time() - t0) * 1e3
+        val = None
         if r.returncode == 0 and r.stdout.strip():
-            val = json.loads(r.stdout.strip().splitlines()[-1])
+            try:
+                val = json.loads(r.stdout.strip().splitlines()[-1])
+            except ValueError:
+                val = None  # stray non-JSON stdout must not kill the bench
+        if val is not None:
             extra[tag] = {"status": "ok", **val}
             print(f"{tag}: ok {val}", file=sys.stderr)
         else:
@@ -251,8 +256,11 @@ a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), jnp.asarray(vol), fa,
                                candidate_chunk=4)
 np.asarray(mc)
 t1 = time.time()
-a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), jnp.asarray(vol), fa,
-                               cfg, max_neighbors=4, iterations=2,
+# steady-state: re-run the ALREADY-COMPILED 1-iteration program (a
+# 2-iteration call would retrace — iterations is a static jit arg — and
+# fold a second compile into the measurement)
+a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), jnp.asarray(vol), fa,
+                               cfg, max_neighbors=4, iterations=1,
                                candidate_chunk=4)
 np.asarray(mc)
 t2 = time.time()
@@ -272,16 +280,17 @@ print(json.dumps({"compile_s": round(t1 - t0, 1),
 """
     _subprocess_probe("mst_1280x960x128", mst_code, 1500, extra)
 
-    # ---- Pallas SGBM backend: try-compile with timeout, small then full
-    # size (the tunnel's remote compiler handles small shapes but has
-    # returned HTTP 500 at 1280x960x128 — record whatever happens) ----
+    # ---- Pallas SGBM backend: try-compile with timeout, small then
+    # near-full size (960x1152; the tunnel's remote compiler handles
+    # <=512-row shapes but has returned HTTP 500 above — record whatever
+    # happens) ----
     pallas_code = r"""
 import time, json, re
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.ops.sgbm_pallas import aggregate_8path_pallas
 out = {}
 for tag, (h, w, d) in (("small_128x256x128", (128, 256, 128)),
-                       ("full_960x1280x128", (960, 1152, 128))):
+                       ("full_960x1152x128", (960, 1152, 128))):
     c = jnp.asarray(np.random.default_rng(0).random((h, w, d), np.float32))
     t0 = time.time()
     try:

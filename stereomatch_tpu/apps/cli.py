@@ -44,7 +44,9 @@ def main(argv=None):
     ap.add_argument("--algorithm", default="hh",
                     choices=["bm", "sgbm", "hh", "sgbm3way", "census",
                              "costvolume", "mst", "pm", "coupled"])
-    ap.add_argument("--blocksize", type=int, default=5)
+    ap.add_argument("--blocksize", type=int, default=None,
+                    help="matching block size (default: 5 for sgbm modes, "
+                         "9 for bm, like the reference CLI)")
     ap.add_argument("--max-disparity", type=int, default=128)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("-i", "--calib", default=None,
@@ -99,7 +101,7 @@ def main(argv=None):
         cfg = SGBMConfig(
             min_disp=0,
             num_disp=nd,
-            block_size=a.blocksize,
+            block_size=a.blocksize or 5,
             num_paths=8 if a.algorithm == "hh" else 5,
         )
         with timer.stage("sgbm"):
@@ -113,7 +115,7 @@ def main(argv=None):
         cfg = BMConfig(
             min_disp=0,
             num_disp=nd,
-            block_size=a.blocksize if a.blocksize > 5 else 9,
+            block_size=a.blocksize or 9,
         )
         with timer.stage("bm"):
             disp = bm_pipeline(left, right, cfg)

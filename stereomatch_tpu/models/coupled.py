@@ -21,9 +21,14 @@ Family E:
      L += (u - a)*theta_inv/2 (.cu:4643-4655), theta_inv growing by
      1/(1 - beta*i) per round (.cu:7532).
 
-Both beat their uncoupled counterparts on noisy volumes (tests/test_coupled.py):
-the smoothing RE-SELECTS from the data (volume / window cost) each round
-instead of only filtering a fixed WTA map.
+The coupled PatchMatch variant beats plain WTA+denoise on noisy synthetic
+volumes (tests/test_coupled.py) — its window-aggregated data term plus
+per-round re-selection does what filtering a fixed WTA map cannot. The
+coupled WTA variant halves raw-WTA error but CANNOT beat plain
+WTA+denoise on iid per-entry volume noise (the pointwise data readout has
+SNR < 1 there; documented in the test and CLAUDE.md) — it is the faithful
+live assembly of the reference's non-window branch, not the recommended
+engine for noisy volumes.
 """
 
 from __future__ import annotations
@@ -94,8 +99,11 @@ def _coupled_update(key_i, planes, fields, bgr, vol, cfg, sign, theta_d, theta_n
         )
         state = try_candidate(state, cand)
 
-    # annealed refinement (delta halving maxDisp/2 -> 0.1, s halving from 1,
-    # .cu:3383-3443)
+    # annealed refinement (delta halving maxDisp/2 while >= 0.1, s halving
+    # from 1, .cu:3383-3443). NOTE this >= bound follows the GPU kernels
+    # (.cu:1835, :3391); ops/mst.py::refine_deltas uses > 0.1 following
+    # Stereo3DMST.cpp's CPU loop — the two references genuinely differ by
+    # one refinement level, so the schedules are intentionally separate.
     deltas = []
     dd, s = 0.5 * cfg.max_disp, 1.0
     while dd >= 0.1:

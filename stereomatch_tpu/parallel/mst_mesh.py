@@ -143,25 +143,26 @@ def mst_pms_optimize_mesh(
     state stays replicated (the per-iteration combine is collective)."""
     iters = cfg.iterations if iterations is None else iterations
     n_dev = mesh.shape["cand"]
+    out_specs = (P(), P(), P(), P())
 
-    fn = shard_map(
-        lambda k, v, fa, st: _body(
-            k, v, fa, cfg, max_neighbors, iters, n_dev, st
-        ),
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
-    )
     if init_state is None:
-        # shard_map needs a concrete pytree; pass a zero-size sentinel via
-        # closure instead
+        # shard_map needs concrete pytrees, so the no-resume case closes
+        # over None instead of passing a sentinel arg
         fn = shard_map(
             lambda k, v, fa: _body(
                 k, v, fa, cfg, max_neighbors, iters, n_dev, None
             ),
             mesh=mesh,
             in_specs=(P(), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=out_specs,
         )
         return fn(key, cost_vol, f)
+    fn = shard_map(
+        lambda k, v, fa, st: _body(
+            k, v, fa, cfg, max_neighbors, iters, n_dev, st
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=out_specs,
+    )
     return fn(key, cost_vol, f, tuple(jnp.asarray(x) for x in init_state))

@@ -55,7 +55,8 @@ def sgbm_pipeline_mesh(
     n = mesh.shape[axis]
     p1, p2 = cfg.resolved_p1p2()
     p1, p2 = float(p1), float(p2)
-    ndir = 3 if cfg.num_paths == 8 else 1
+    ndir = 3 if cfg.num_paths in (8, 5) else 1
+    use_up = cfg.num_paths != 5  # MODE_SGBM (5) has no upward paths
     nd = cfg.num_disp
     ctx = 3  # sobel (1) + block radius (2)
 
@@ -100,29 +101,33 @@ def sgbm_pipeline_mesh(
         perm_up = [(i + 1, i) for i in range(n - 1)]
         perm_dn = [(i, i + 1) for i in range(n - 1)]
 
-        # ---------- phase U: record up-carry entering each band ----------
-        def step_u(state, t):
-            carry_in, up_buf = state
-            f = t - (n - 1 - k)
-            active = (f >= 0) & (f < b)
-            fc = jnp.clip(f, 0, b - 1)
-            c_b = band_cost(fc)
-            carry_use = jnp.where(active, carry_in, zero_carry)
-            _, out_carry = _row_scan_dirs(
-                c_b, carry_use, p1, p2, ndir, reverse=True
-            )
-            up_buf = up_buf.at[fc].set(
-                jnp.where(active, carry_use, up_buf[fc])
-            )
-            nxt = lax.ppermute(
-                jnp.where(active, out_carry, zero_carry), axis, perm_up
-            )
-            return (nxt, up_buf), None
-
+        # ---------- phase U: record up-carry entering each band (skipped
+        # entirely for the 5-path MODE_SGBM direction set) ----------
         up_buf0 = jnp.zeros((b, ndir, w, nd), dtype) + 0 * zero_carry[0, 0, 0]
-        (_, up_buf), _ = lax.scan(
-            step_u, (zero_carry, up_buf0), jnp.arange(b + n - 1)
-        )
+        if use_up:
+            def step_u(state, t):
+                carry_in, up_buf = state
+                f = t - (n - 1 - k)
+                active = (f >= 0) & (f < b)
+                fc = jnp.clip(f, 0, b - 1)
+                c_b = band_cost(fc)
+                carry_use = jnp.where(active, carry_in, zero_carry)
+                _, out_carry = _row_scan_dirs(
+                    c_b, carry_use, p1, p2, ndir, reverse=True
+                )
+                up_buf = up_buf.at[fc].set(
+                    jnp.where(active, carry_use, up_buf[fc])
+                )
+                nxt = lax.ppermute(
+                    jnp.where(active, out_carry, zero_carry), axis, perm_up
+                )
+                return (nxt, up_buf), None
+
+            (_, up_buf), _ = lax.scan(
+                step_u, (zero_carry, up_buf0), jnp.arange(b + n - 1)
+            )
+        else:
+            up_buf = up_buf0
 
         # ---------- phase D: finish bands, reduce to disparity ----------
         def step_d(state, t):
@@ -133,10 +138,11 @@ def sgbm_pipeline_mesh(
             c_b = band_cost(fc)
             carry_use = jnp.where(active, carry_in, zero_carry)
             s, out_carry = _row_scan_dirs(c_b, carry_use, p1, p2, ndir)
-            up_ys, _ = _row_scan_dirs(
-                c_b, up_buf[fc], p1, p2, ndir, reverse=True
-            )
-            s = s + up_ys
+            if use_up:
+                up_ys, _ = _row_scan_dirs(
+                    c_b, up_buf[fc], p1, p2, ndir, reverse=True
+                )
+                s = s + up_ys
             s = s + _col_scans_ew(c_b, p1, p2)
             d_b, v_b = _select_from_aggregated(s, cfg, margin, w_full)
             disp_out = disp_out.at[fc].set(jnp.where(active, d_b, disp_out[fc]))

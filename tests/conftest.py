@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin IGNORES the env var (CLAUDE.md) — without this
+# config-level pin, every unplaced array lands on the tunneled chip and the
+# suite inherits its slow remote compiles and occasional worker flakes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -42,3 +42,23 @@ def test_pipelined_sgbm_matches_single(mesh4, rng):
         np.testing.assert_allclose(
             disp[f], np.asarray(ref.disparity), atol=1e-4
         )
+
+
+def test_pipelined_sgbm_5path_matches_single(mesh4, rng):
+    """num_paths=5 (MODE_SGBM set): no up sweep — the pipelined schedule
+    must still equal single-chip exactly."""
+    b, h, w = 2, 64, 96
+    base = (rng.random((b, h, w + 8)) * 255).astype(np.float32)
+    left, right = base[..., :w], base[..., 5 : 5 + w]
+    cfg = SGBMConfig(min_disp=0, num_disp=16, block_size=5, num_paths=5)
+    fn = sgbm_pipeline_mesh(mesh4, cfg)
+    disp, valid = fn(left, right)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    for f in range(b):
+        ref = sgbm_disparity(
+            jax.device_put(left[f], jax.devices("cpu")[0]),
+            jax.device_put(right[f], jax.devices("cpu")[0]),
+            cfg,
+        )
+        np.testing.assert_array_equal(valid[f], np.asarray(ref.valid))
+        np.testing.assert_allclose(disp[f], np.asarray(ref.disparity), atol=1e-4)
