@@ -91,3 +91,93 @@ def mst_stereo(
         disp_l, disp_r, float(cfg.max_disp), fill=False
     )
     return MSTOutput(disp_l_checked, disp_r, valid)
+
+
+def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
+              fine_iters: int, max_neighbors: int):
+    """Coarse-to-fine label optimization for ONE view (hierarchical
+    disparity prediction in the spirit of the fast-NLS literature, e.g.
+    arXiv:1509.08197 — beyond the reference, which always runs all 100
+    iterations at full resolution, src/Stereo3DMST.cpp:858-889).
+
+    A plane d = a x + b y + c at 1/k scale maps to full resolution as
+    (a, b, k*c): d_f(x, y) = k * d_c(x/k, y/k). The upsampled labels seed
+    the full-scale run WITH their true aggregated cost (one tree_filter
+    pass), so the fine iterations only refine — the long random-search
+    phase happens on a volume k^3 times smaller.
+    """
+    import dataclasses
+
+    from ..ops.mst import label_cost, tree_filter
+
+    vol = jnp.asarray(vol)
+    h, w, d = vol.shape
+    dc = max(2, -(-d // k))
+    cfg_c = dataclasses.replace(cfg, max_disp=dc, iterations=coarse_iters)
+    bgr_c = np.asarray(bgr)[::k, ::k]
+    vol_c = vol[::k, ::k, ::k][:, :, :dc]
+
+    kc, kf = jax.random.split(key)
+    fa_c = build_view_forest(bgr_c, cfg_c)
+    ac, bc, cc, _ = mst_pms_optimize(
+        kc, vol_c, fa_c, cfg_c, max_neighbors=max_neighbors,
+        iterations=coarse_iters,
+    )
+    # coarse node-order labels -> coarse pixel maps
+    hc, wc = bgr_c.shape[:2]
+    pix_c = fa_c.pixel_of_node
+    a_img = jnp.zeros((hc * wc,)).at[pix_c].set(ac).reshape(hc, wc)
+    b_img = jnp.zeros((hc * wc,)).at[pix_c].set(bc).reshape(hc, wc)
+    c_img = jnp.zeros((hc * wc,)).at[pix_c].set(cc).reshape(hc, wc)
+
+    # full-res init: each pixel takes its coarse cell's plane, rescaled
+    fa = build_view_forest(bgr, cfg)
+    pix = fa.pixel_of_node
+    ys = jnp.clip((pix // w) // k, 0, hc - 1)
+    xs = jnp.clip((pix % w) // k, 0, wc - 1)
+    a0 = a_img[ys, xs]
+    b0 = b_img[ys, xs]
+    c0 = c_img[ys, xs] * float(k)
+    # seed with the TRUE aggregated cost so the init is sticky
+    mc0 = tree_filter(
+        label_cost(vol, a0, b0, c0, fa, cfg.max_disp), fa, cfg.carry_iters
+    )
+    a, b, c, _ = mst_pms_optimize(
+        kf, vol, fa, cfg, max_neighbors=max_neighbors, iterations=fine_iters,
+        init_state=(a0, b0, c0, mc0),
+    )
+    return labels_to_disparity(a, b, c, fa, cfg.max_disp) * (cfg.max_disp - 1.0)
+
+
+def mst_stereo_c2f(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    cfg: MSTConfig = MSTConfig(),
+    seed: int = 0,
+    k: int = 2,
+    coarse_iterations: int | None = None,
+    fine_iterations: int | None = None,
+    max_neighbors: int = 8,
+) -> MSTOutput:
+    """Coarse-to-fine 3DMST: optimize at 1/k scale first (volume k^3 times
+    smaller), upsample the plane labels, and refine at full scale with far
+    fewer iterations. Defaults: coarse = cfg.iterations, fine =
+    cfg.iterations // 4. Same output contract as mst_stereo.
+
+    Worth it at PRODUCTION scale, where per-iteration cost dominates: with
+    the defaults the full-scale work drops to ~(1/k^3)*coarse + fine
+    full-iteration equivalents (e.g. ~14 instead of 100 at k=2). At toy
+    sizes the second forest build + compile dominates and the flat run is
+    faster — this is a scale feature, not a micro-benchmark win."""
+    ci = cfg.iterations if coarse_iterations is None else coarse_iterations
+    fi = max(1, cfg.iterations // 4) if fine_iterations is None else fine_iterations
+    key = jax.random.PRNGKey(seed)
+    kl, kr = jax.random.split(key)
+    disp_l = _c2f_view(kl, left_bgr, left_vol, cfg, k, ci, fi, max_neighbors)
+    disp_r = _c2f_view(kr, right_bgr, right_vol, cfg, k, ci, fi, max_neighbors)
+    disp_l_checked, valid = lr_consistency(
+        disp_l, disp_r, float(cfg.max_disp), fill=False
+    )
+    return MSTOutput(disp_l_checked, disp_r, valid)

@@ -283,3 +283,33 @@ def test_mst_optimize_recovers_plane(rng):
     )
     disp = np.asarray(labels_to_disparity(a, b, c, fa, d)) * (d - 1.0)
     assert np.abs(disp - 5.0).mean() < 0.5, np.abs(disp - 5.0).mean()
+
+
+def test_mst_coarse_to_fine_converges(rng):
+    """Coarse-to-fine (models.mst_stereo_c2f): labels optimized at 1/2
+    scale, upsampled as (a, b, k*c), refined briefly at full scale — must
+    recover the slanted-plane-with-step scene to sub-pixel accuracy with
+    only 1/4 of the full-scale iterations."""
+    import jax
+
+    from stereomatch_tpu.models.mst import mst_stereo_c2f
+
+    h, w, d = 48, 80, 16
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    d_true = 0.1 * xs + 3.0 + np.zeros((h, 1), np.float32)
+    d_true[:, w // 2 :] += 4.0
+    ds = np.arange(d, dtype=np.float32)[None, None, :]
+    vol = np.minimum(np.abs(ds - d_true[..., None]) * 0.15, 0.5).astype(np.float32)
+    vol += rng.random((h, w, d)).astype(np.float32) * 0.1
+    img = np.full((h, w, 3), 100.0, np.float32)
+    img[:, w // 2 :] = 180.0
+
+    cfg = MSTConfig(max_disp=d, iterations=40, min_cc_size=50, c=2000.0)
+    out = mst_stereo_c2f(
+        img, img, vol, vol, cfg, seed=0, k=2,
+        coarse_iterations=30, fine_iterations=10, max_neighbors=4,
+    )
+    inner = np.s_[4:-4, 4:-4]
+    err = np.abs(np.asarray(out.right_disp) - d_true)[inner]
+    assert (err > 1.0).mean() < 0.02, (err > 1.0).mean()
+    assert err.mean() < 0.5, err.mean()
