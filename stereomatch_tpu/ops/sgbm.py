@@ -404,10 +404,12 @@ def sgbm_disparity_banded(
 ) -> SGBMOutput:
     """SGBM without ever materializing the full aggregated volume: rows are
     processed in bands of `band_rows`, streaming the DP carries between
-    bands — EXACTLY the same result as sgbm_disparity, with peak memory
-    ~ band volumes instead of several full H x W x D volumes. This is the
-    production driver for 2048x1536x256-scale inputs (SURVEY.md §7 "hard
-    parts" #6).
+    bands — the same math as sgbm_disparity with peak memory ~ band volumes
+    instead of several full H x W x D volumes. (Band costs are recomputed
+    from image strips, so the block-sum cumsum prefixes can differ from the
+    monolithic ones by 1 ulp; a near-exact cost tie may then resolve to a
+    different disparity on isolated pixels.) This is the production driver
+    for 2048x1536x256-scale inputs (SURVEY.md §7 "hard parts" #6).
 
     Two sweeps: an upward sweep records the {N, NE, NW} carry entering each
     band from below; the downward sweep then finishes each band (down

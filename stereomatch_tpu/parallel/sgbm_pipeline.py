@@ -13,8 +13,10 @@ a stencil recurrence instead of network layers.
 
 Exactness: identical math to ops.sgbm.sgbm_disparity_banded (band costs
 recomputed from 3-row-overlapped image strips; E/W scans and the
-selection stage are row-local). Verified against the single-chip result in
-tests/test_parallel.py.
+selection stage are row-local) — like the banded driver, band-local fp32
+cost sums can differ from monolithic by 1 ulp and flip a near-exact
+argmin tie on isolated pixels. Verified against the single-chip result in
+tests/test_sgbm_pipeline_mesh.py.
 """
 
 from __future__ import annotations
