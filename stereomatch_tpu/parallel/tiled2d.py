@@ -171,7 +171,8 @@ def _huber_denoise_tiled2d(f, weight, cfg: DenoiseConfig, ay: str, ax: str):
     return u
 
 
-def _body2d(left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total):
+def _body2d(left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total,
+            lr_check=False):
     v, g = cfg.volume, cfg.guided
     hs = left.shape[0]
     ws = wfull // n_tx
@@ -245,6 +246,23 @@ def _body2d(left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total):
         dl = dl * span + float(v.min_disp)
         dr = _huber_denoise_tiled2d(fr, wr, cfg.denoise, "tile_y", "tile_x")
         dr = dr * span + float(v.min_disp)
+
+    if lr_check:
+        # the LR check + directional fill scan the FULL row: all_gather the
+        # (tiny) disparity rows along tile_x, run the row ops redundantly,
+        # slice the own column block back out (matches
+        # models.costvolume.cost_volume_stereo's lr_check path exactly)
+        from ..ops.postprocess import lr_occlusion_mask, nearest_valid_fill
+
+        dl_f = lax.all_gather(dl, "tile_x", axis=1, tiled=True)
+        dr_f = lax.all_gather(dr, "tile_x", axis=1, tiled=True)
+        occ_l = lr_occlusion_mask(dl_f, dr_f, -1, float(v.max_disp), float(v.min_disp))
+        occ_r = lr_occlusion_mask(dr_f, dl_f, +1, float(v.max_disp), float(v.min_disp))
+        dl_f = nearest_valid_fill(jnp.where(occ_l, 0.0, dl_f), ~occ_l)
+        dr_f = nearest_valid_fill(jnp.where(occ_r, 0.0, dr_f), ~occ_r)
+        x0 = ix * ws
+        dl = lax.dynamic_slice(dl_f, (0, x0), (hs, ws))
+        dr = lax.dynamic_slice(dr_f, (0, x0), (hs, ws))
     return dl, dr
 
 
@@ -253,6 +271,7 @@ def tiled2d_cost_volume_stereo(
     shape: tuple[int, int],
     cfg: CostVolumePipelineConfig = CostVolumePipelineConfig(),
     denoise: bool = True,
+    lr_check: bool = False,
 ):
     """Build a jitted cost-volume pipeline sharded over a
     (tile_y, tile_x, dslab) mesh.
@@ -272,7 +291,8 @@ def tiled2d_cost_volume_stereo(
 
     def body(left, right):
         return _body2d(
-            left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total
+            left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total,
+            lr_check,
         )
 
     in_spec = P("tile_y")

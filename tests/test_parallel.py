@@ -245,3 +245,24 @@ def test_distributed_init_noop_single_process():
     from stereomatch_tpu.parallel import distributed_init
 
     assert distributed_init() is False  # no coordinator env -> no-op
+
+
+def test_tiled2d_lr_check_matches_monolithic(mesh3, rng):
+    """lr_check on the (tile_y, tile_x, dslab) mesh: the full-row LR
+    occlusion mask + directional fill run on all_gather'ed rows and must
+    match the monolithic path."""
+    h, w, d = 32, 48, 8
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=2, slab=8),
+    )
+    left = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    mono = cost_volume_stereo(_cpu(left), _cpu(right), cfg, denoise=False, lr_check=True)
+
+    from stereomatch_tpu.parallel import tiled2d_cost_volume_stereo
+
+    fn = tiled2d_cost_volume_stereo(mesh3, (h, w), cfg, denoise=False, lr_check=True)
+    tl, tr = fn(left, right)
+    _assert_disp_close(np.asarray(tl), np.asarray(mono.left_disp))
+    _assert_disp_close(np.asarray(tr), np.asarray(mono.right_disp))
