@@ -57,6 +57,8 @@ def _subprocess_probe(tag, code, timeout, extra, env=None):
                 val = json.loads(r.stdout.strip().splitlines()[-1])
             except ValueError:
                 val = None  # stray non-JSON stdout must not kill the bench
+            if not isinstance(val, dict):
+                val = None  # a JSON scalar/list would crash the dict splat
         if val is not None:
             extra[tag] = {"status": "ok", **val}
             print(f"{tag}: ok {val}", file=sys.stderr)

@@ -55,6 +55,8 @@ def main(argv=None):
     ap.add_argument("-p", "--cloud-out", default=None)
     ap.add_argument("--no-rectify", action="store_true")
     a = ap.parse_args(argv)
+    if a.blocksize is not None and (a.blocksize < 1 or a.blocksize % 2 == 0):
+        ap.error(f"--blocksize must be a positive odd number, got {a.blocksize}")
 
     import jax.numpy as jnp
 
@@ -101,7 +103,7 @@ def main(argv=None):
         cfg = SGBMConfig(
             min_disp=0,
             num_disp=nd,
-            block_size=a.blocksize or 5,
+            block_size=5 if a.blocksize is None else a.blocksize,
             num_paths=8 if a.algorithm == "hh" else 5,
         )
         with timer.stage("sgbm"):
@@ -115,7 +117,7 @@ def main(argv=None):
         cfg = BMConfig(
             min_disp=0,
             num_disp=nd,
-            block_size=a.blocksize or 9,
+            block_size=9 if a.blocksize is None else a.blocksize,
         )
         with timer.stage("bm"):
             disp = bm_pipeline(left, right, cfg)

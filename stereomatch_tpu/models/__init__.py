@@ -19,7 +19,12 @@ disparity maps, mirroring one of the reference's five stereo engines:
 """
 
 from .costvolume import cost_volume_stereo, CostVolumeOutput  # noqa: F401
-from .mst import mst_stereo, MSTOutput, build_view_forest  # noqa: F401
+from .mst import (  # noqa: F401
+    MSTOutput,
+    build_view_forest,
+    mst_stereo,
+    mst_stereo_c2f,
+)
 from .patchmatch import patchmatch_pipeline, PatchMatchOutput  # noqa: F401
 from .coupled import (  # noqa: F401
     CoupledOutput,

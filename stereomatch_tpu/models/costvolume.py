@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import CostVolumePipelineConfig
 from ..ops.cost import adgrad_bgr_volumes, bgr_to_gray
 from ..ops.filters import guided_filter_volume
-from ..ops.postprocess import lr_occlusion_mask, nearest_valid_fill
+from ..ops.postprocess import lr_check_fill_pair
 from ..ops.select import wta_disparity
 from ..ops.variational import variational_disparity_denoise
 
@@ -80,9 +80,8 @@ def cost_volume_stereo(
         )
 
     if lr_check:
-        occ_l = lr_occlusion_mask(left, right, -1, float(v.max_disp), float(v.min_disp))
-        occ_r = lr_occlusion_mask(right, left, +1, float(v.max_disp), float(v.min_disp))
-        left = nearest_valid_fill(jnp.where(occ_l, 0.0, left), ~occ_l)
-        right = nearest_valid_fill(jnp.where(occ_r, 0.0, right), ~occ_r)
+        left, right = lr_check_fill_pair(
+            left, right, float(v.max_disp), float(v.min_disp)
+        )
 
     return CostVolumeOutput(left, right, left_raw, right_raw)

@@ -36,7 +36,7 @@ from ..ops.mst import (
 )
 from ..ops.postprocess import lr_consistency
 
-__all__ = ["mst_stereo", "MSTOutput", "build_view_forest"]
+__all__ = ["mst_stereo", "mst_stereo_c2f", "MSTOutput", "build_view_forest"]
 
 
 class MSTOutput(NamedTuple):
@@ -171,6 +171,18 @@ def mst_stereo_c2f(
     full-iteration equivalents (e.g. ~14 instead of 100 at k=2). At toy
     sizes the second forest build + compile dominates and the flat run is
     faster — this is a scale feature, not a micro-benchmark win."""
+    if cfg.max_disp < 2 * k:
+        # too few coarse disparity slices to carry a useful landscape
+        # (vol[::k] would have < 2 entries); fall back to flat optimization
+        ci0 = coarse_iterations or cfg.iterations
+        fi0 = fine_iterations or max(1, cfg.iterations // 4)
+        import dataclasses
+
+        return mst_stereo(
+            left_bgr, right_bgr, left_vol, right_vol,
+            dataclasses.replace(cfg, iterations=ci0 + fi0), seed,
+            max_neighbors,
+        )
     ci = cfg.iterations if coarse_iterations is None else coarse_iterations
     fi = max(1, cfg.iterations // 4) if fine_iterations is None else fine_iterations
     key = jax.random.PRNGKey(seed)

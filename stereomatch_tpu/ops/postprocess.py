@@ -23,9 +23,22 @@ from ..config import WeightedMedianConfig
 __all__ = [
     "lr_occlusion_mask",
     "nearest_valid_fill",
+    "lr_check_fill_pair",
     "lr_consistency",
     "weighted_median",
 ]
+
+
+def lr_check_fill_pair(disp_l, disp_r, max_disp: float, min_disp: float):
+    """LR-check both views against each other and fill the occluded pixels
+    (the cost-volume pipeline's lr_check step — one definition shared by
+    models/costvolume.py and parallel/tiled2d.py so the tiled==monolithic
+    parity cannot drift). Returns (left, right) filled maps."""
+    occ_l = lr_occlusion_mask(disp_l, disp_r, -1, max_disp, min_disp)
+    occ_r = lr_occlusion_mask(disp_r, disp_l, +1, max_disp, min_disp)
+    left = nearest_valid_fill(jnp.where(occ_l, 0.0, disp_l), ~occ_l)
+    right = nearest_valid_fill(jnp.where(occ_r, 0.0, disp_r), ~occ_r)
+    return left, right
 
 
 def lr_occlusion_mask(

@@ -57,6 +57,8 @@ def sgbm_pipeline_mesh(
     n = mesh.shape[axis]
     p1, p2 = cfg.resolved_p1p2()
     p1, p2 = float(p1), float(p2)
+    if cfg.num_paths not in (4, 5, 8):  # match aggregate_8path's contract
+        raise ValueError(f"num_paths must be 4, 5 or 8, got {cfg.num_paths}")
     ndir = 3 if cfg.num_paths in (8, 5) else 1
     use_up = cfg.num_paths != 5  # MODE_SGBM (5) has no upward paths
     nd = cfg.num_disp

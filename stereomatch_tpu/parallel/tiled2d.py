@@ -249,17 +249,16 @@ def _body2d(left, right, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total,
 
     if lr_check:
         # the LR check + directional fill scan the FULL row: all_gather the
-        # (tiny) disparity rows along tile_x, run the row ops redundantly,
-        # slice the own column block back out (matches
-        # models.costvolume.cost_volume_stereo's lr_check path exactly)
-        from ..ops.postprocess import lr_occlusion_mask, nearest_valid_fill
+        # (tiny) disparity rows along tile_x, run the SHARED row ops
+        # (ops.postprocess.lr_check_fill_pair — same definition the
+        # monolithic pipeline uses) redundantly, slice the block back out
+        from ..ops.postprocess import lr_check_fill_pair
 
         dl_f = lax.all_gather(dl, "tile_x", axis=1, tiled=True)
         dr_f = lax.all_gather(dr, "tile_x", axis=1, tiled=True)
-        occ_l = lr_occlusion_mask(dl_f, dr_f, -1, float(v.max_disp), float(v.min_disp))
-        occ_r = lr_occlusion_mask(dr_f, dl_f, +1, float(v.max_disp), float(v.min_disp))
-        dl_f = nearest_valid_fill(jnp.where(occ_l, 0.0, dl_f), ~occ_l)
-        dr_f = nearest_valid_fill(jnp.where(occ_r, 0.0, dr_f), ~occ_r)
+        dl_f, dr_f = lr_check_fill_pair(
+            dl_f, dr_f, float(v.max_disp), float(v.min_disp)
+        )
         x0 = ix * ws
         dl = lax.dynamic_slice(dl_f, (0, x0), (hs, ws))
         dr = lax.dynamic_slice(dr_f, (0, x0), (hs, ws))
