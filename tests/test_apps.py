@@ -86,3 +86,24 @@ def test_stream_resume_skips_done(tmp_path, monkeypatch):
         verbose=False, resume=True,
     )
     assert out.size == 0  # nothing recomputed
+
+
+def test_stereo_yin_app_runs(tmp_path):
+    """The StereoYin equivalent end to end at 1/8 scale with the built-in
+    volume and a short iteration budget (rectify -> 3DMST -> artifacts)."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps.stereo_yin import run
+
+    run(
+        data_dir="/root/reference/build",
+        frame_id=20,
+        calib="/root/reference/cam_stereo_pheno.yml",
+        out_dir=str(tmp_path),
+        max_disp=24,
+        iterations=6,
+        scale=0.125,
+        verbose=False,
+    )
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".png") for f in files), files
