@@ -215,6 +215,61 @@ def main():
     except Exception as e:
         print(f"costvolume bench skipped: {e}", file=sys.stderr)
 
+    # ---- remaining engines: BM + census at headline size ----
+    try:
+        from stereomatch_tpu.config import BMConfig, CensusConfig
+        from stereomatch_tpu.ops.bm import bm_disparity
+        from stereomatch_tpu.ops.cost import census_stereo
+
+        bcfg = BMConfig(num_disp=d, block_size=9)
+
+        @jax.jit
+        def bm_step(l, r):
+            return jnp.sum(bm_disparity(l, r, bcfg).disparity)
+
+        float(bm_step(left, right))
+        dtb = _time_stepfn(bm_step, (left, right), 3, warmup=1)
+        extra["bm"] = {"ms": round(dtb * 1e3, 1)}
+        print(f"bm 1280x960x128: {dtb*1e3:.1f} ms/frame", file=sys.stderr)
+
+        ccfg = CensusConfig(d_max=50)
+        l01 = left * (1.0 / 255.0)
+        r01 = right * (1.0 / 255.0)
+
+        @jax.jit
+        def census_step(l, r):
+            return jnp.sum(census_stereo(l, r, ccfg))
+
+        float(census_step(l01, r01))
+        dtc2 = _time_stepfn(census_step, (l01, r01), 3, warmup=1)
+        extra["census"] = {"ms": round(dtc2 * 1e3, 1)}
+        print(f"census 1280x960x51: {dtc2*1e3:.1f} ms/frame", file=sys.stderr)
+    except Exception as e:
+        print(f"bm/census bench skipped: {e}", file=sys.stderr)
+
+    # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
+    # The tunnel worker CRASHES on this program above ~384x288 (recorded
+    # honestly below; isolated in a subprocess so the bench survives) ----
+    pm_code = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.config import PatchMatchConfig
+from stereomatch_tpu.ops.patchmatch import patchmatch_stereo
+h, w = 288, 384
+rng = np.random.default_rng(0)
+tex = (rng.random((h, w + 64, 3)) * 255).astype(np.float32)
+left = jnp.asarray(tex[:, :w]); right = jnp.asarray(tex[:, 40:40+w])
+cfg = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5)
+t0 = time.time()
+l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfg)
+np.asarray(l.d[0, :4]); t1 = time.time()
+l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfg)
+np.asarray(l.d[0, :4]); t2 = time.time()
+print(json.dumps({"compile_s": round(t1 - t0, 1),
+                  "ms_10iter_384x288": round((t2 - t1) * 1e3, 1)}))
+"""
+    _subprocess_probe("patchmatch_384x288", pm_code, 900, extra)
+
     # ---- host forest builder at native scale (VERDICT weak #4) ----
     try:
         from stereomatch_tpu.native import build_forest
