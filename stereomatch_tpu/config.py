@@ -251,6 +251,13 @@ class MSTConfig:
     # default before the at-scale runtime was measured).
     max_log_range: float = 4.0
     carry_iters: int = 2
+    # Smoothness-prior selection string, the reference's parameter surface
+    # ("NL2TGV"/"2TGV"/"TV"/"NONE", src/PatchMatchStereoGPU.cu:6819 via the
+    # stereo3dmst smoothness argument; its refinement loop is dead code at
+    # .cu:7328 — here the refiners are live: ops/tgv.py, ops/nltgv.py
+    # applied to the normalized disparity after label optimization).
+    smoothness_prior: str = "NONE"
+    smoothness_iters: int = 50
 
 
 @dataclass(frozen=True)

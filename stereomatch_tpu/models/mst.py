@@ -57,6 +57,41 @@ def build_view_forest(bgr: np.ndarray, cfg: MSTConfig):
     return forest_arrays(forest)
 
 
+def _apply_smoothness(disp, bgr, cfg: MSTConfig):
+    """Smoothness-prior refinement selected by the reference's string
+    surface ("NL2TGV"/"2TGV"/"TV"/"NONE", src/PatchMatchStereoGPU.cu:6819;
+    its refinement loop is dead at .cu:7328 — these are the live
+    equivalents). Operates on the [0,1]-normalized disparity like the
+    reference's u fields (.cu:6941-6952)."""
+    prior = cfg.smoothness_prior.upper()
+    if prior in ("NONE", ""):
+        return disp
+    span = float(cfg.max_disp - 1)
+    u0 = jnp.clip(jnp.asarray(disp) / span, 0.0, 1.0)
+    bgr = jnp.asarray(np.asarray(bgr, np.float32))
+    if prior in ("2TGV", "TV"):
+        from ..ops.tgv import TGVParams, tgv2_refine
+
+        gray = (
+            0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+        ) * (1.0 / 255.0)
+        u = tgv2_refine(
+            u0, gray, TGVParams(iterations=cfg.smoothness_iters),
+            tgv=(prior == "2TGV"),
+        )
+    elif prior in ("NL2TGV", "NLTV"):
+        from ..ops.nltgv import NL2TGVParams, nl2tgv_refine
+
+        u = nl2tgv_refine(
+            u0, bgr, NL2TGVParams(iterations=cfg.smoothness_iters)
+        )
+    else:
+        raise ValueError(
+            f"smoothness_prior must be NL2TGV/NLTV/2TGV/TV/NONE, got {prior!r}"
+        )
+    return u * span
+
+
 def mst_stereo(
     left_bgr,
     right_bgr,
@@ -71,6 +106,8 @@ def mst_stereo(
     left_vol/right_vol: (H, W, D) float32 matching costs (lower = better),
     e.g. a cleaned mc-cnn volume (io.costvolume.clean_mccnn). Returns
     disparities in pixels (max at cfg.max_disp - 1), LR-checked left view.
+    cfg.smoothness_prior selects the optional variational refinement
+    ("NL2TGV"/"2TGV"/"TV"/"NONE" — the reference's string surface).
     """
     fa_l = build_view_forest(left_bgr, cfg)
     fa_r = build_view_forest(right_bgr, cfg)
@@ -86,6 +123,9 @@ def mst_stereo(
         kr, jnp.asarray(right_vol), fa_r, cfg, max_neighbors=max_neighbors
     )
     disp_r = labels_to_disparity(a, b, c, fa_r, cfg.max_disp) * (cfg.max_disp - 1.0)
+
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
 
     disp_l_checked, valid = lr_consistency(
         disp_l, disp_r, float(cfg.max_disp), fill=False

@@ -313,3 +313,33 @@ def test_mst_coarse_to_fine_converges(rng):
     err = np.abs(np.asarray(out.right_disp) - d_true)[inner]
     assert (err > 1.0).mean() < 0.02, (err > 1.0).mean()
     assert err.mean() < 0.5, err.mean()
+
+
+@pytest.mark.parametrize("prior", ["TV", "2TGV", "NL2TGV"])
+def test_mst_smoothness_prior_surface(rng, prior):
+    """The reference's smoothness-prior string surface
+    ("NL2TGV"/"2TGV"/"TV"/"NONE", .cu:6819) selects a LIVE refiner here:
+    output stays finite, in range, and no rougher than unrefined."""
+    import dataclasses
+
+    from stereomatch_tpu.models.mst import mst_stereo
+
+    h, w, d = 24, 32, 8
+    img = np.full((h, w, 3), 128, np.float32)
+    vol = np.full((h, w, d), 0.5, np.float32)
+    vol[:, :, 4] = 0.0
+    vol += rng.random((h, w, d)).astype(np.float32) * 0.05
+    cfg = MSTConfig(max_disp=d, iterations=15, smoothness_prior=prior,
+                    smoothness_iters=20)
+    out = mst_stereo(img, img, vol, vol, cfg, seed=0, max_neighbors=2)
+    dr = np.asarray(out.right_disp)
+    assert np.isfinite(dr).all()
+    assert dr.min() >= -0.01 and dr.max() <= d - 0.99
+    base = mst_stereo(
+        img, img, vol, vol, dataclasses.replace(cfg, smoothness_prior="NONE"),
+        seed=0, max_neighbors=2,
+    )
+    tv = lambda x: np.abs(np.diff(x, axis=0)).mean() + np.abs(np.diff(x, axis=1)).mean()  # noqa: E731
+    # second-order priors (2TGV/NL2TGV) favor piecewise-LINEAR solutions,
+    # so plain first-difference TV need not strictly decrease — allow 10%
+    assert tv(dr) <= tv(np.asarray(base.right_disp)) * 1.1 + 1e-4
