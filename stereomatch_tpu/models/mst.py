@@ -229,6 +229,8 @@ def mst_stereo_c2f(
     kl, kr = jax.random.split(key)
     disp_l = _c2f_view(kl, left_bgr, left_vol, cfg, k, ci, fi, max_neighbors)
     disp_r = _c2f_view(kr, right_bgr, right_vol, cfg, k, ci, fi, max_neighbors)
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
     disp_l_checked, valid = lr_consistency(
         disp_l, disp_r, float(cfg.max_disp), fill=False
     )
