@@ -258,6 +258,18 @@ class MSTConfig:
     # applied to the normalized disparity after label optimization).
     smoothness_prior: str = "NONE"
     smoothness_iters: int = 50
+    # Normalized aggregation: divide the tree-filtered cost by the
+    # tree-filtered ONES volume (per-pixel total support weight), the live
+    # NL2TGV MST path's cost_norm_factor (ComputeMSTCostNormFactor +
+    # inversion, src/PatchMatchStereoGPU.cu:5415-5429, :5919; applied at
+    # :5403). The reference enables it for the right view (`true` at
+    # :7117) and leaves the left at the default false; the standalone
+    # Stereo3DMST.cpp never normalizes. NOTE (proved in
+    # tests/test_mst.py::test_normalized_aggregation_label_invariance):
+    # the factor is constant per PIXEL across candidates and iterations,
+    # so pure label selection is invariant — it matters only for
+    # consumers of min_cost (the AL coupling term .cu:7247, c2f seeds).
+    normalize_aggregation: bool = False
 
 
 @dataclass(frozen=True)

@@ -148,7 +148,7 @@ def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
     """
     import dataclasses
 
-    from ..ops.mst import label_cost, tree_filter
+    from ..ops.mst import aggregation_norm_inv, label_cost, tree_filter
 
     vol = jnp.asarray(vol)
     h, w, d = vol.shape
@@ -178,10 +178,14 @@ def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
     a0 = a_img[ys, xs]
     b0 = b_img[ys, xs]
     c0 = c_img[ys, xs] * float(k)
-    # seed with the TRUE aggregated cost so the init is sticky
+    # seed with the TRUE aggregated cost so the init is sticky (normalized
+    # consistently with mst_pms_optimize's comparisons when the
+    # cost_norm_factor flag is on)
     mc0 = tree_filter(
         label_cost(vol, a0, b0, c0, fa, cfg.max_disp), fa, cfg.carry_iters
     )
+    if cfg.normalize_aggregation:
+        mc0 = mc0 * aggregation_norm_inv(fa, cfg.carry_iters)
     a, b, c, _ = mst_pms_optimize(
         kf, vol, fa, cfg, max_neighbors=max_neighbors, iterations=fine_iters,
         init_state=(a0, b0, c0, mc0),

@@ -44,5 +44,10 @@ from .coupled import (  # noqa: F401
     huber_rof_field_step,
     hybrid_plane_cost,
 )
-from .mst import forest_arrays, mst_pms_optimize, tree_filter  # noqa: F401
+from .mst import (  # noqa: F401
+    aggregation_norm_inv,
+    forest_arrays,
+    mst_pms_optimize,
+    tree_filter,
+)
 from .segmentation import boruvka_segment, segment_image  # noqa: F401

@@ -41,6 +41,7 @@ __all__ = [
     "ForestArrays",
     "forest_arrays",
     "tree_filter",
+    "aggregation_norm_inv",
     "label_cost",
     "labels_to_disparity",
     "mst_pms_optimize",
@@ -259,6 +260,16 @@ def tree_filter(
     # first pass: every segment root acts as a tree root (D = U)
     d = down(u)
     return jax.lax.fori_loop(0, carry_iters, down_step, d)
+
+
+def aggregation_norm_inv(f: ForestArrays, carry_iters: int = 2) -> jax.Array:
+    """Per-node reciprocal of the tree-filtered ONES volume — the reference's
+    cost_norm_factor (ComputeMSTCostNormFactor: up-sweep from 1.0 per node +
+    the standard down-sweep, src/PatchMatchStereoGPU.cu:5415-5429; inverted
+    once at :5919). Multiplying an aggregate by this turns the weighted
+    support SUM into a weighted support MEAN. Computed once per forest."""
+    ones = jnp.ones_like(f.w_exp)
+    return 1.0 / tree_filter(ones, f, carry_iters)
 
 
 def label_cost(
@@ -490,6 +501,15 @@ def mst_pms_optimize(
     n_refine = int(deltas_d.shape[0])
     k_total = max_neighbors + n_refine
 
+    # cost_norm_factor (ref .cu:5403): per-node reciprocal support weight,
+    # computed once and applied to every aggregate before the min updates.
+    # init_state's min_cost must come from a run with the same flag.
+    inv_norm = (
+        aggregation_norm_inv(f, cfg.carry_iters)
+        if cfg.normalize_aggregation
+        else None
+    )
+
     key, k0 = jax.random.split(key)
     if init_state is None:
         a0, b0, c0 = init_labels(k0, f, max_disp)
@@ -518,7 +538,8 @@ def mst_pms_optimize(
             nb = pb_[:, f.tree_id]
             nc = pc_[:, f.tree_id]
             cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
-            return tree_filter(cn, f, cfg.carry_iters)  # (Kb, N)
+            agg = tree_filter(cn, f, cfg.carry_iters)  # (Kb, N)
+            return agg if inv_norm is None else agg * inv_norm
 
         if candidate_chunk is None or candidate_chunk >= k_total:
             agg = eval_block(ka_, kb_, kc_)

@@ -180,6 +180,63 @@ def test_tree_filter_batched(rng):
         )
 
 
+def test_norm_factor_matches_reference_recurrence(rng):
+    """aggregation_norm_inv == 1 / (reference ComputeMSTCostNormFactor):
+    the norm up-sweep (aggregateCostFromChildrenNormFactor,
+    src/PatchMatchStereoGPU.cu:5333-5351: +1.0 per node, += w * child) plus
+    the standard down-sweep IS the plain tree filter applied to ones."""
+    from stereomatch_tpu.ops.mst import aggregation_norm_inv
+
+    h, w = 14, 18
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    for delta in (1.5, 4.0):
+        f = build_forest(wr, wd, 300.0, 4, gamma=1 / 12.0, delta=delta)
+        fa = forest_arrays(f)
+        got = np.asarray(aggregation_norm_inv(fa))
+        expect = 1.0 / _reference_two_pass(f, np.ones(h * w, np.float32), 1 / 12.0)
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-5)
+        # every support weight >= the node's own 1.0 contribution
+        assert (got <= 1.0 + 1e-5).all()
+
+
+def test_normalized_aggregation_label_invariance(rng):
+    """cost_norm_factor is a per-PIXEL positive scale applied to every
+    candidate's aggregate AND the stored min (.cu:5403), so pure label
+    selection must be invariant — the trajectories coincide and the
+    returned min_cost is exactly the scaled one. This is the honest
+    characterization of the reference feature (its real effect is on
+    downstream consumers of min_cost, e.g. the AL coupling .cu:7247)."""
+    import dataclasses
+
+    import jax
+
+    from stereomatch_tpu.ops.mst import aggregation_norm_inv
+
+    h, w, d = 16, 20, 10
+    img = (rng.random((h, w, 3)) * 80 + 60).astype(np.float32)
+    wr, wd = color_edge_weights(img)
+    f = build_forest(wr, wd, 400.0, 8, gamma=1 / 12.0, delta=4.0)
+    fa = forest_arrays(f)
+    vol = (rng.random((h, w, d)) * 0.5).astype(np.float32)
+    cfg = MSTConfig(max_disp=d, iterations=12)
+    a1, b1, c1, m1 = mst_pms_optimize(
+        jax.random.PRNGKey(3), jnp.asarray(vol), fa, cfg, max_neighbors=2,
+        iterations=12,
+    )
+    cfg_n = dataclasses.replace(cfg, normalize_aggregation=True)
+    a2, b2, c2, m2 = mst_pms_optimize(
+        jax.random.PRNGKey(3), jnp.asarray(vol), fa, cfg_n, max_neighbors=2,
+        iterations=12,
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4, atol=1e-4)
+    inv = np.asarray(aggregation_norm_inv(fa))
+    np.testing.assert_allclose(
+        np.asarray(m2), np.asarray(m1) * inv, rtol=2e-3, atol=1e-5
+    )
+
+
 def test_label_cost_lerp(rng):
     h, w, d = 6, 8, 10
     img = (rng.random((h, w, 3)) * 255).astype(np.float32)
