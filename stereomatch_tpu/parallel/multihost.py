@@ -85,10 +85,14 @@ def tiled2d_cost_volume_batch(
     shape: tuple[int, int],
     cfg: CostVolumePipelineConfig = CostVolumePipelineConfig(),
     denoise: bool = True,
+    lr_check: bool = False,
 ):
     """Batched (B, H, W, 3) pipeline: frames sharded over "host" (DCN),
     each frame tiled over (tile_y, tile_x, dslab) (ICI). B must divide by
-    the host axis; H/W/D constraints as in tiled2d_cost_volume_stereo."""
+    the host axis; H/W/D constraints as in tiled2d_cost_volume_stereo.
+    lr_check applies the same full-row LR consistency + directional fill
+    the single-frame pipeline offers (tiled2d._body2d's all_gather'ed row
+    path) per frame — the frame vmap carries the collective along."""
     h_total, wfull = shape
     n_ty = mesh.shape["tile_y"]
     n_tx = mesh.shape["tile_x"]
@@ -100,7 +104,8 @@ def tiled2d_cost_volume_batch(
     def body(lb, rb):  # (B_local, Hs, W, 3)
         return jax.vmap(
             lambda l, r: _body2d(
-                l, r, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total
+                l, r, cfg, denoise, halo, n_ty, n_tx, n_dd, wfull, h_total,
+                lr_check,
             )
         )(lb, rb)
 

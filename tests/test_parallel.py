@@ -241,6 +241,37 @@ def test_multihost_batch_matches_monolithic(rng):
         _assert_disp_close(dr[k], np.asarray(mono.right_disp))
 
 
+def test_multihost_batch_lr_check_matches_monolithic(rng):
+    """lr_check passthrough on the batched (host, tile_y, tile_x, dslab)
+    pipeline: every frame equals the monolithic single-frame result with
+    lr_check on (VERDICT r2 parity hole)."""
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from stereomatch_tpu.parallel import make_host_mesh, tiled2d_cost_volume_batch
+
+    m = make_host_mesh(2, 2, 2, 1, devices=cpus[:8])
+    h, w, d, b = 32, 48, 8, 2
+    cfg = CostVolumePipelineConfig(
+        volume=CostVolumeConfig(min_disp=0, max_disp=d - 1),
+        guided=GuidedFilterConfig(radius=2, slab=8),
+    )
+    left = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    right = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    fn = tiled2d_cost_volume_batch(m, (h, w), cfg, denoise=False, lr_check=True)
+    dl, dr = fn(left, right)
+    dl, dr = np.asarray(dl), np.asarray(dr)
+    for k in range(b):
+        mono = cost_volume_stereo(
+            _cpu(left[k]), _cpu(right[k]), cfg, denoise=False, lr_check=True
+        )
+        _assert_disp_close(dl[k], np.asarray(mono.left_disp))
+        _assert_disp_close(dr[k], np.asarray(mono.right_disp))
+
+
 def test_distributed_init_noop_single_process():
     from stereomatch_tpu.parallel import distributed_init
 
