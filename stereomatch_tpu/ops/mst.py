@@ -50,8 +50,29 @@ __all__ = [
 ]
 
 
+class SegScanMaps(NamedTuple):
+    """Static index maps driving the one-pass blocked segmented cumsum
+    (_segmented_cumsum_mm). All derived host-side from the (static) reset
+    positions of a forest, so the on-device scan needs no flag combines:
+    within-block prefixes come from ONE triangular matmul (MXU), and the
+    segment restarts become two static gathers + one tiny per-block carry
+    scan."""
+
+    corr_idx: jax.Array  # (Mp,) int32: padded-P index of P[last_reset-1]
+    has_corr: jax.Array  # (Mp,) bool: last reset falls inside this block
+    needs_carry: jax.Array  # (Mp,) bool: segment opened before this block
+    blk_reset: jax.Array  # (nb,) bool: block contains a reset
+    blk_has_corr: jax.Array  # (nb,) bool: last reset strictly after blk start
+    blk_corr_idx: jax.Array  # (nb,) int32: padded-P index for the blk total
+
+
 class ForestArrays(NamedTuple):
-    """Device-side flat forest (see native.Forest for field semantics)."""
+    """Device-side flat forest (see native.Forest for field semantics).
+
+    Node order is concatenated per-segment DFS preorder and every
+    segment's nodes AND Euler events are contiguous ranges (invariants of
+    native/treebuild.cpp's merged DFS; checked in tests/test_mst.py) —
+    sub_end and the scan maps below depend on them."""
 
     pixel_of_node: jax.Array  # (N,) int32
     parent_node: jax.Array  # (N,) int32
@@ -70,9 +91,49 @@ class ForestArrays(NamedTuple):
     tree_start: jax.Array  # (T+1,) int32 (padded to Tmax+1)
     adj_start: jax.Array  # (T+1,) int32
     adj_list: jax.Array  # (M,) int32
+    sub_end: jax.Array  # (N,) int32: p's within-segment subtree = [p, sub_end)
+    nscan: SegScanMaps  # maps for N-length node-order scans (up-sweep)
+    escan: SegScanMaps  # maps for 2N-length Euler-event scans (down-sweep)
     num_trees: int  # static
     height: int
     width: int
+
+
+_SCAN_BLOCK = 256  # triangular-matmul scan block (lane-aligned; see
+# _segmented_cumsum_mm — flops/scan scale with the block size, conditioning
+# bounds with block * e^{max_log_range})
+
+
+def _make_scan_maps(reset: np.ndarray, block: int = _SCAN_BLOCK) -> SegScanMaps:
+    """Host-side static maps for _segmented_cumsum_mm over a sequence with
+    the given (static) reset positions. reset[0] must be True."""
+    m = reset.size
+    assert reset[0], "sequence must open with a segment"
+    pad = (-m) % block
+    mp = m + pad
+    r = np.zeros(mp, bool)
+    r[:m] = reset
+    r[m:] = True  # pad region is its own dead segment
+    idx = np.arange(mp)
+    lrs = np.maximum.accumulate(np.where(r, idx, -1))  # last reset <= idx
+    blk_start = (idx // block) * block
+    has_corr = lrs - 1 >= blk_start  # reset strictly inside this block
+    corr_idx = np.where(has_corr, lrs - 1, 0).astype(np.int32)
+    needs_carry = lrs < blk_start  # segment opened in an earlier block
+    nb = mp // block
+    lrs_end = lrs.reshape(nb, block)[:, -1]
+    bs = blk_start.reshape(nb, block)[:, 0]
+    blk_reset = lrs_end >= bs
+    blk_has_corr = lrs_end > bs
+    blk_corr_idx = np.where(blk_has_corr, lrs_end - 1, 0).astype(np.int32)
+    return SegScanMaps(
+        corr_idx=jnp.asarray(corr_idx),
+        has_corr=jnp.asarray(has_corr),
+        needs_carry=jnp.asarray(needs_carry),
+        blk_reset=jnp.asarray(blk_reset),
+        blk_has_corr=jnp.asarray(blk_has_corr),
+        blk_corr_idx=jnp.asarray(blk_corr_idx),
+    )
 
 
 def forest_arrays(forest) -> ForestArrays:
@@ -106,6 +167,13 @@ def forest_arrays(forest) -> ForestArrays:
     adj_list = forest.adj_list
     if adj_list.size == 0:
         adj_list = np.zeros(1, np.int32)
+    # within-segment subtree of node p (preorder-contiguous, = [p, sub_end)):
+    # the Euler bracket [in(p), out(p)] holds exactly its 2k events because
+    # cut children live in their own contiguous segment ranges
+    sub_end = (
+        np.arange(n, dtype=np.int32)
+        + ((forest.out_pos - forest.in_pos + 1) // 2).astype(np.int32)
+    )
     return ForestArrays(
         pixel_of_node=jnp.asarray(forest.pixel_of_node),
         parent_node=jnp.asarray(forest.parent_node),
@@ -124,85 +192,95 @@ def forest_arrays(forest) -> ForestArrays:
         tree_start=jnp.asarray(forest.tree_start),
         adj_start=jnp.asarray(forest.adj_start),
         adj_list=jnp.asarray(adj_list),
+        sub_end=jnp.asarray(sub_end),
+        nscan=_make_scan_maps(seg_root),
+        escan=_make_scan_maps(euler_reset),
         num_trees=forest.num_trees,
         height=forest.height,
         width=forest.width,
     )
 
 
-def _segmented_cumsum(x: jax.Array, reset: jax.Array, block: int = 512) -> jax.Array:
-    """Inclusive prefix sum along the last axis that restarts wherever
-    `reset` is True. Keeps partial sums SEGMENT-LOCAL in magnitude — a
-    global cumsum over millions of Euler events would accumulate a huge
-    prefix and the later difference of two near-equal prefixes would wipe
-    out small subtree sums (fp32 catastrophic cancellation).
+def _segmented_cumsum_mm(
+    x: jax.Array, maps: SegScanMaps, block: int = _SCAN_BLOCK
+) -> jax.Array:
+    """Inclusive prefix sum along the last axis restarting at the (static)
+    segment starts encoded in `maps`.
 
-    Performance: two-level blocked scan — a within-block segmented
-    associative_scan (log2(block) combine levels instead of log2(2N) ~ 22
-    at production scale) plus a tiny cross-block carry scan; and the reset
-    flags stay UN-broadcast (shape (1, ..., M)), so the flag half of the
-    combine does 1/K of the work when x carries a K-candidate batch axis.
-    Same reassociated sum as the flat scan (fp rounding-level identical).
+    TPU mapping: within-block inclusive prefixes are ONE triangular
+    matmul on the MXU (instead of the log2(block) read+write combine
+    levels of an associative_scan — the scan becomes a single read and
+    write of the array, plus flops the MXU does ~for free). Segment
+    restarts are applied afterwards from static gathers:
+
+        out[j] = P[j] - P[last_reset(j) - 1]          (reset in block)
+               = P[j] + carry[block(j)]               (segment from before)
+
+    with a tiny (value, flag) scan over per-block totals for the carries.
+
+    Conditioning: raw within-block prefixes accumulate at most `block`
+    terms before correction, so cancellation error is ~eps * block * max|x|
+    — with block=256 and |x| <= e^{max_log_range} * 0.5 this sits at the
+    same ~3e-4 noise floor as the exp-factorization itself (see
+    tree_filter). The result is the same reassociated sum as the previous
+    blocked associative scan.
     """
     m = x.shape[-1]
-    lead = (1,) * (x.ndim - 1)
-    reset = reset.reshape(lead + (m,))
-    pad = (-m) % block
-    if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-        # pad positions reset=True: the pad region is its own segment and
-        # never leaks into real carries
-        reset = jnp.pad(
-            reset, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=True
-        )
-    nb = x.shape[-1] // block
+    mp = maps.corr_idx.shape[0]
+    if mp != m:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, mp - m)])
+    nb = mp // block
     xb = x.reshape(x.shape[:-1] + (nb, block))
-    rb = reset.reshape(lead + (nb, block))
+    tri = jnp.asarray(np.triu(np.ones((block, block), np.float32)))
+    p = jax.lax.dot_general(
+        xb,
+        tri,
+        (((xb.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (..., nb, block) inclusive within-block prefixes
+    pf = p.reshape(x.shape[:-1] + (mp,))
+    base = jnp.where(maps.has_corr, pf[..., maps.corr_idx], 0.0)
+    tot = p[..., -1] - jnp.where(
+        maps.blk_has_corr, pf[..., maps.blk_corr_idx], 0.0
+    )  # per-block sum of the segment open at the block end
 
     def comb(a, b):
         av, af = a
         bv, bf = b
         return jnp.where(bf, bv, av + bv), af | bf
 
-    v, f = jax.lax.associative_scan(comb, (xb, rb), axis=-1)
-    # cross-block carry: segmented prefix of block totals, applied to each
-    # block's positions before its first reset
-    tot, seen = v[..., -1], f[..., -1]
-    cv, _ = jax.lax.associative_scan(comb, (tot, seen), axis=-1)
+    flags = jnp.broadcast_to(maps.blk_reset, tot.shape)
+    cv, _ = jax.lax.associative_scan(comb, (tot, flags), axis=-1)
     carry = jnp.concatenate([jnp.zeros_like(cv[..., :1]), cv[..., :-1]], axis=-1)
-    out = v + jnp.where(f, 0.0, carry[..., None])
-    out = out.reshape(x.shape)
-    return out[..., :m] if pad else out
+    carry_pos = jnp.broadcast_to(
+        carry[..., None], carry.shape + (block,)
+    ).reshape(x.shape[:-1] + (mp,))
+    out = pf - base + jnp.where(maps.needs_carry, carry_pos, 0.0)
+    return out[..., :m] if mp != m else out
 
 
 def _subtree_sums(t: jax.Array, f: ForestArrays) -> jax.Array:
-    """sum over subtree(p) (within segment) of t(q), via Euler prefix.
+    """sum over subtree(p) (within segment) of t(q).
 
-    t: (..., N) values in node order. Returns (..., N)."""
-    n = t.shape[-1]
-    shape = t.shape[:-1] + (2 * n,)
-    # gather formulation: Euler position e holds t[src[e]] at in events, 0
-    # at out events (the old at[].set scatter serialized on TPU)
-    a = jnp.where(f.euler_is_in, t[..., f.euler_src], 0.0)
-    p = _segmented_cumsum(a, f.euler_reset)
-    # exclusive-at-in, inclusive-at-(out-1): [in(p), out(p)) covers the
-    # subtree including p itself. P_inc[out-1] - P_inc[in] + t[in].
-    p_in = jnp.take_along_axis(p, jnp.broadcast_to(f.in_pos, shape[:-1] + (n,)), -1)
-    p_out = jnp.take_along_axis(
-        p, jnp.broadcast_to(f.out_pos - 1, shape[:-1] + (n,)), -1
-    )
-    return p_out - p_in + t
+    t: (..., N) values in node order. Returns (..., N). Node order is
+    per-segment preorder, so the within-segment subtree of p is the
+    contiguous node range [p, sub_end(p)) — an N-length segmented prefix
+    difference, half the events of the Euler formulation."""
+    p = _segmented_cumsum_mm(t, f.nscan)
+    p_end = p[..., f.sub_end - 1]
+    p_self = p - t  # exclusive prefix at p
+    return p_end - p_self
 
 
 def _ancestor_sums(v: jax.Array, f: ForestArrays) -> jax.Array:
     """sum over ancestors-or-self (within segment) of v(a), via Euler
     +enter/-exit prefix. v: (..., N) -> (..., N)."""
     n = v.shape[-1]
-    shape = v.shape[:-1] + (2 * n,)
+    shape = v.shape[:-1] + (n,)
     # gather formulation: +v at in events, -v at out events
     b = jnp.where(f.euler_is_in, v[..., f.euler_src], -v[..., f.euler_src])
-    q = _segmented_cumsum(b, f.euler_reset)
-    return jnp.take_along_axis(q, jnp.broadcast_to(f.in_pos, shape[:-1] + (n,)), -1)
+    q = _segmented_cumsum_mm(b, f.escan)
+    return jnp.take_along_axis(q, jnp.broadcast_to(f.in_pos, shape), -1)
 
 
 def tree_filter(
