@@ -26,7 +26,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["diffusion_tensor", "line_response", "tgv2_refine", "TGVParams"]
+__all__ = [
+    "diffusion_tensor",
+    "line_response",
+    "lsd_line_mask",
+    "tgv2_refine",
+    "TGVParams",
+]
 
 
 class TGVParams(NamedTuple):
@@ -75,6 +81,35 @@ def line_response(gray: jax.Array, threshold: float = 20.0) -> jax.Array:
     dx, dy = _central_grad(gray)
     mag = jnp.sqrt(dx * dx + dy * dy)
     return jnp.clip(mag / threshold, 0.0, 1.0)
+
+
+def lsd_line_mask(gray, sigma: float = 1.0):
+    """The reference's exact LSD line-segment mask (host-side, needs cv2):
+    cv::createLineSegmentDetector(LSD_REFINE_ADV) segments drawn 1 px wide
+    into a binary mask, scaled to [0,1] and Gaussian-blurred with
+    sigma=1.0 (src/PatchMatchStereoGPU.cu:6368-6396; the reference leaves
+    its mask buffer uninitialized before drawing — here it is zeroed).
+    `line_response` is the in-graph stand-in; their agreement on the FLIR
+    frame is quantified in tests/test_tgv.py::test_lsd_line_mask_agreement.
+    Returns an (H, W) float32 numpy mask."""
+    import cv2
+    import numpy as np_
+
+    g8 = np_.clip(np_.asarray(gray), 0, 255).astype(np_.uint8)
+    lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_ADV)
+    lines = lsd.detect(g8)[0]
+    mask = np_.zeros(g8.shape, np_.uint8)
+    if lines is not None:
+        for l in np_.asarray(lines).reshape(-1, 4):
+            cv2.line(
+                mask,
+                (int(round(float(l[0]))), int(round(float(l[1])))),
+                (int(round(float(l[2]))), int(round(float(l[3])))),
+                255,
+                1,
+            )
+    m = mask.astype(np_.float32) / 255.0
+    return cv2.GaussianBlur(m, (0, 0), float(sigma))
 
 
 def diffusion_tensor(
