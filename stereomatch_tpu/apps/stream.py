@@ -117,6 +117,114 @@ def run(
     return dl
 
 
+def run_mst(
+    data_dir: str,
+    calib: str,
+    out_dir: str,
+    ids=DEFAULT_IDS,
+    scale: float = 0.125,
+    max_disp: int = 48,
+    iterations: int = 20,
+    verbose: bool = True,
+    resume: bool = False,
+):
+    """Streaming 3DMST with the host forest build OFF the critical path:
+    frame N+1's forests are built by a worker thread (the ctypes C++
+    builder releases the GIL) while the device optimizes frame N — after
+    the first frame, the device never waits for segmentation (the
+    reference builds forests inline per frame, src/Stereo3DMST.cpp:841-847,
+    serializing CPU and GPU). Returns (disparities, forest_wait_seconds):
+    the per-frame time spent blocked on forest futures, ~0 from frame 1 on
+    when device compute dominates."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..apps.stereo_yin import builtin_cost_volumes
+    from ..config import MSTConfig
+    from ..models.mst import build_view_forest
+    from ..ops.mst import labels_to_disparity, mst_pms_optimize
+    from ..ops.postprocess import lr_consistency
+    from ..pipelines import to_bgr255
+
+    timer = StageTimer(verbose=verbose)
+    if resume:
+        os.makedirs(out_dir, exist_ok=True)
+        ids = tuple(
+            fid for fid in ids
+            if not os.path.exists(
+                os.path.join(out_dir, f"stream_mst_{fid:06d}.png")
+            )
+        )
+        if not ids:
+            return np.zeros((0,), np.float32), []
+    step = int(round(1.0 / scale))
+    cfg = MSTConfig(max_disp=max_disp, iterations=iterations)
+
+    cal = load_stereo_calibration(calib).rescaled(scale)
+    frames = []
+    with timer.stage("load+rectify"):
+        geom = None
+        for fid in ids:
+            l = load_image(
+                os.path.join(data_dir, f"{fid:06d}_191400042.jpg")
+            )[::step, ::step].astype(np.float32)
+            r = load_image(
+                os.path.join(data_dir, f"{fid:06d}_191400039.jpg")
+            )[::step, ::step].astype(np.float32)
+            if geom is None:
+                geom = rectified_geometry(cal, (l.shape[1], l.shape[0]))
+                maps = tuple(
+                    jnp.asarray(m)
+                    for m in (geom.map1x, geom.map1y, geom.map2x, geom.map2y)
+                )
+            rl = np.asarray(remap_bilinear(jnp.asarray(l), maps[0], maps[1]))
+            rr = np.asarray(remap_bilinear(jnp.asarray(r), maps[2], maps[3]))
+            frames.append((np.asarray(to_bgr255(rl)), np.asarray(to_bgr255(rr))))
+
+    def build_pair(i):
+        bl, br = frames[i]
+        return build_view_forest(bl, cfg), build_view_forest(br, cfg)
+
+    disps, waits = [], []
+    os.makedirs(out_dir, exist_ok=True)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = {0: ex.submit(build_pair, 0)}
+        for i, fid in enumerate(ids):
+            if i + 1 < len(ids):
+                futs[i + 1] = ex.submit(build_pair, i + 1)  # lookahead
+            t0 = time.time()
+            fa_l, fa_r = futs.pop(i).result()
+            waits.append(time.time() - t0)
+            bl, br = frames[i]
+            with timer.stage(f"frame {fid} device"):
+                lv, rv = builtin_cost_volumes(
+                    jnp.asarray(bl[..., ::-1]), jnp.asarray(br[..., ::-1]),
+                    max_disp,
+                )
+                key = jax.random.PRNGKey(int(fid))
+                kl, kr = jax.random.split(key)
+                a, b, c, _ = mst_pms_optimize(kl, lv, fa_l, cfg)
+                dl = labels_to_disparity(a, b, c, fa_l, max_disp) * (max_disp - 1.0)
+                a, b, c, _ = mst_pms_optimize(kr, rv, fa_r, cfg)
+                dr = labels_to_disparity(a, b, c, fa_r, max_disp) * (max_disp - 1.0)
+                dl, _ = lr_consistency(dl, dr, float(max_disp), fill=False)
+                dl = np.asarray(dl)
+            disps.append(dl)
+            save_disparity_png(
+                os.path.join(out_dir, f"stream_mst_{fid:06d}.png"), dl, max_disp
+            )
+    if verbose:
+        print(timer.report())
+        print(
+            "forest wait per frame (s):",
+            " ".join(f"{wt:.3f}" for wt in waits),
+        )
+    return np.stack(disps), waits
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", default="/root/reference/build")
@@ -124,11 +232,18 @@ def main():
     ap.add_argument("--out-dir", default="./out")
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--max-disp", type=int, default=63)
+    ap.add_argument("--engine", choices=("costvolume", "mst"), default="costvolume")
+    ap.add_argument("--iterations", type=int, default=20,
+                    help="mst engine: label-optimization iterations")
     ap.add_argument("--resume", action="store_true",
                     help="skip frames whose output already exists")
     a = ap.parse_args()
-    run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
-        resume=a.resume)
+    if a.engine == "mst":
+        run_mst(a.data_dir, a.calib, a.out_dir, scale=a.scale,
+                max_disp=a.max_disp, iterations=a.iterations, resume=a.resume)
+    else:
+        run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
+            resume=a.resume)
 
 
 if __name__ == "__main__":

@@ -107,3 +107,31 @@ def test_stereo_yin_app_runs(tmp_path):
     )
     files = os.listdir(tmp_path)
     assert any(f.endswith(".png") for f in files), files
+
+
+def test_stream_mst_overlapped_forest_build(tmp_path):
+    """Streaming 3DMST with lookahead forest construction: two frames end
+    to end at 1/16 scale; outputs written, disparities in range, and the
+    per-frame forest-wait record exists (frame N+1 builds while N
+    optimizes — the wait is the residual blocking time)."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps import stream
+
+    disps, waits = stream.run_mst(
+        "/root/reference/build", "/root/reference/cam_stereo_pheno.yml",
+        str(tmp_path), ids=(20, 40), scale=1 / 16.0, max_disp=16,
+        iterations=4, verbose=False,
+    )
+    assert disps.shape[0] == 2 and len(waits) == 2
+    assert np.isfinite(disps).all()
+    assert disps.max() <= 16.0 and disps.min() >= 0.0
+    for fid in (20, 40):
+        assert os.path.exists(os.path.join(tmp_path, f"stream_mst_{fid:06d}.png"))
+    # resume skips everything
+    disps2, _ = stream.run_mst(
+        "/root/reference/build", "/root/reference/cam_stereo_pheno.yml",
+        str(tmp_path), ids=(20, 40), scale=1 / 16.0, max_disp=16,
+        iterations=4, verbose=False, resume=True,
+    )
+    assert disps2.size == 0
