@@ -270,6 +270,14 @@ class MSTConfig:
     # so pure label selection is invariant — it matters only for
     # consumers of min_cost (the AL coupling term .cu:7247, c2f seeds).
     normalize_aggregation: bool = False
+    # Cost-volume storage dtype for label_cost reads. "bfloat16" halves
+    # both resident volume memory and gather bytes per iteration (the
+    # dominant 3DMST traffic); costs are in [0, 0.5] so bf16 adds ~2e-3
+    # absolute noise, below the aggregation's own fp32 noise floor. The
+    # lerp and every aggregation pass remain f32. Accuracy gated on the
+    # GT battery (tests/test_gt_battery.py) and plane recovery
+    # (tests/test_mst.py).
+    volume_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

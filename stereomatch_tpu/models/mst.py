@@ -151,6 +151,8 @@ def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
     from ..ops.mst import aggregation_norm_inv, label_cost, tree_filter
 
     vol = jnp.asarray(vol)
+    if cfg.volume_dtype != "float32":
+        vol = vol.astype(cfg.volume_dtype)  # one cast shared by both scales
     h, w, d = vol.shape
     dc = max(2, -(-d // k))
     cfg_c = dataclasses.replace(cfg, max_disp=dc, iterations=coarse_iters)

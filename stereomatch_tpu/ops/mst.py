@@ -376,9 +376,12 @@ def label_cost(
     hi_c = jnp.clip(hi, 0, max_disp - 1)
     vol_flat = cost_vol.reshape(-1, cost_vol.shape[-1])  # (HW, D)
     # advanced indexing broadcasts pix (N,) against (..., N) d-indices,
-    # so batched candidate axes ride along for free
-    c_lo = vol_flat[pix, lo_c]
-    c_hi = vol_flat[pix, hi_c]
+    # so batched candidate axes ride along for free; a bf16 volume
+    # (MSTConfig.volume_dtype) halves the gather bytes — the lerp and all
+    # aggregation stay f32 (costs are in [0, 0.5]: bf16's 8 mantissa bits
+    # give ~2e-3 absolute cost noise, below the aggregation noise floor)
+    c_lo = vol_flat[pix, lo_c].astype(jnp.float32)
+    c_hi = vol_flat[pix, hi_c].astype(jnp.float32)
     frac = d - d_floor
     return jnp.where(in_range, (1.0 - frac) * c_lo + frac * c_hi, 0.5)
 
@@ -574,6 +577,8 @@ def mst_pms_optimize(
     n = f.pixel_of_node.shape[0]
     iters = cfg.iterations if iterations is None else iterations
     max_disp = cfg.max_disp
+    if cfg.volume_dtype != "float32":
+        cost_vol = cost_vol.astype(cfg.volume_dtype)
 
     deltas_d, deltas_n = refine_deltas(max_disp)
     n_refine = int(deltas_d.shape[0])

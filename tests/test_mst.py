@@ -400,3 +400,40 @@ def test_mst_smoothness_prior_surface(rng, prior):
     # second-order priors (2TGV/NL2TGV) favor piecewise-LINEAR solutions,
     # so plain first-difference TV need not strictly decrease — allow 10%
     assert tv(dr) <= tv(np.asarray(base.right_disp)) * 1.1 + 1e-4
+
+
+def test_mst_bf16_volume_matches_f32(rng):
+    """MSTConfig.volume_dtype="bfloat16" (halved gather bytes in
+    label_cost): label costs within bf16 quantization of f32, and the
+    slanted-plane recovery stays sub-0.5px — the accuracy gate for the
+    bench's bf16 bytes/iteration claim."""
+    import dataclasses
+
+    import jax
+
+    h, w, d = 24, 40, 12
+    img = np.full((h, w, 3), 128, np.float32)
+    wr, wd = color_edge_weights(img)
+    fa = forest_arrays(build_forest(wr, wd, 5000.0, 200, gamma=1 / 12.0, delta=4.0))
+    vol = (rng.random((h, w, d)) * 0.5).astype(np.float32)
+    n = h * w
+    a = (rng.random(n) * 0.1 - 0.05).astype(np.float32)
+    b = (rng.random(n) * 0.1 - 0.05).astype(np.float32)
+    c = (rng.random(n) * d).astype(np.float32)
+    c32 = np.asarray(label_cost(jnp.asarray(vol), jnp.asarray(a), jnp.asarray(b),
+                                jnp.asarray(c), fa, d))
+    c16 = np.asarray(label_cost(jnp.asarray(vol).astype(jnp.bfloat16),
+                                jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), fa, d))
+    assert np.abs(c32 - c16).max() < 3e-3  # bf16 eps on [0, 0.5] costs
+
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    d_true = 0.15 * xs + 3.0 + np.zeros((h, 1), np.float32)
+    ds = np.arange(d, dtype=np.float32)[None, None, :]
+    vol2 = np.minimum(np.abs(ds - d_true[..., None]) * 0.2, 0.5).astype(np.float32)
+    cfg = MSTConfig(max_disp=d, iterations=60, volume_dtype="bfloat16")
+    a, b, c, _ = mst_pms_optimize(
+        jax.random.PRNGKey(2), jnp.asarray(vol2), fa, cfg, max_neighbors=2,
+        iterations=60,
+    )
+    disp = np.asarray(labels_to_disparity(a, b, c, fa, d)) * (d - 1.0)
+    assert np.abs(disp - d_true).mean() < 0.5
