@@ -91,3 +91,39 @@ def test_chunked_matches_unchunked(small_problem):
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_cand,n_node", [(2, 2), (1, 4), (4, 2)])
+def test_sharded_volume_mesh_matches_single_chip(small_problem, n_cand, n_node):
+    """Memory-sharded variant: the cost volume lives node-order-sharded
+    across the "node" axis (each device's label_cost gathers are
+    shard-local; one all_gather per candidate batch). Must match the
+    single-chip result to the same tolerance as the replicated mesh."""
+    from stereomatch_tpu.parallel.mst_mesh import (
+        make_cand_node_mesh,
+        mst_pms_optimize_mesh_sharded,
+        volume_in_node_order,
+    )
+
+    fa, vol = small_problem
+    cpus = _cpu_devices(n_cand * n_node)
+    cfg = MSTConfig(max_disp=10, iterations=6)
+    key = jax.random.PRNGKey(3)
+
+    a1, b1, c1, m1 = mst_pms_optimize(
+        jax.device_put(key, cpus[0]), jax.device_put(vol, cpus[0]),
+        jax.tree.map(lambda x: jax.device_put(x, cpus[0]), fa),
+        cfg, max_neighbors=3, iterations=6,
+    )
+    mesh = make_cand_node_mesh(n_cand, n_node, devices=cpus[: n_cand * n_node])
+    vol_node = volume_in_node_order(vol, fa)
+    a2, b2, c2, m2 = mst_pms_optimize_mesh_sharded(
+        key, vol_node, fa, mesh, cfg, max_neighbors=3, iterations=6
+    )
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-6)
+    flipped = np.abs(np.asarray(c2) - np.asarray(c1)) > 1e-3
+    assert flipped.mean() < 0.02, flipped.mean()
+    same = ~flipped
+    np.testing.assert_allclose(
+        np.asarray(a2)[same], np.asarray(a1)[same], rtol=1e-4, atol=1e-5
+    )
