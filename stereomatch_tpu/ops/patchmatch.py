@@ -124,9 +124,16 @@ def plane_cost(
     match_p = jnp.pad(match_gray, pad_spec, mode="edge")  # pad rows for y+h
     adgrad = cfg.metric == "adgrad"
     if adgrad:
-        mbgr_p = jnp.pad(match_bgr, pad_spec + ((0, 0),), mode="edge")
         bgrad_p = jnp.pad(base_grad, pad_spec + ((0, 0),), mode="edge")
-        mgrad_p = jnp.pad(match_grad, pad_spec + ((0, 0),), mode="edge")
+        # match color + gradient coalesced into ONE (H, W, 5) feature map:
+        # each tap then needs a single 5-channel x-interp gather pair
+        # instead of 5 separate per-channel gathers (gathers are the
+        # slowest memory op on TPU — the count matters, not just bytes)
+        mfeat_p = jnp.pad(
+            jnp.concatenate([match_bgr, match_grad], axis=-1),
+            pad_spec + ((0, 0),),
+            mode="edge",
+        )
 
     offs = jnp.asarray(taps, jnp.int32)
     oob_cost = cfg.plane_penalty if adgrad else 10.0
@@ -152,20 +159,15 @@ def plane_cost(
             base_tap_grad = jax.lax.dynamic_slice(
                 bgrad_p, (dy + r, dx + r, 0), (h, w, 2)
             )
-            c_l1 = jnp.zeros((h, w))
-            for ch in range(3):
-                m_ch = _sample_x(
-                    jax.lax.dynamic_slice(mbgr_p, (dy + r, r, ch), (h, w, 1))[..., 0],
-                    mx, None,
-                )
-                c_l1 = c_l1 + jnp.abs(base_tap_c[..., ch] - m_ch)
-            g_l1 = jnp.zeros((h, w))
-            for ch in range(2):
-                mg_ch = _sample_x(
-                    jax.lax.dynamic_slice(mgrad_p, (dy + r, r, ch), (h, w, 1))[..., 0],
-                    mx, None,
-                )
-                g_l1 = g_l1 + jnp.abs(base_tap_grad[..., ch] - mg_ch)
+            feat = jax.lax.dynamic_slice(mfeat_p, (dy + r, r, 0), (h, w, 5))
+            x0 = jnp.floor(mx)
+            frac = (mx - x0)[..., None]
+            x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)[..., None]
+            v0 = jnp.take_along_axis(feat, x0i, axis=1)
+            v1 = jnp.take_along_axis(feat, jnp.clip(x0i + 1, 0, w - 1), axis=1)
+            m_feat = v0 * (1.0 - frac) + v1 * frac  # (H, W, 5)
+            c_l1 = jnp.sum(jnp.abs(base_tap_c - m_feat[..., :3]), axis=-1)
+            g_l1 = jnp.sum(jnp.abs(base_tap_grad - m_feat[..., 3:]), axis=-1)
             penalty = (1.0 - cfg.alpha) * jnp.minimum(
                 c_l1, cfg.tau_c
             ) + cfg.alpha * jnp.minimum(g_l1, cfg.tau_g)
