@@ -92,15 +92,49 @@ def test_patchmatch_gate_vs_sgbm_flir(rectified_pair):
 
 def test_mst_gate_vs_sgbm_flir(rectified_pair):
     """3DMST with the built-in cost volume (the mc-cnn stand-in) vs SGBM at
-    eighth scale: bad-2px < 25% on co-valid pixels."""
+    eighth scale: bad-2px < 12% on co-valid pixels (measured 0.047 at 20
+    iterations — the quality-vs-iterations curve in PARITY.md shows the
+    plateau is reached by ~20; the reference's 100 are ~5x overkill)."""
     from stereomatch_tpu.pipelines import mst_pipeline
 
     rl, rr = rectified_pair
     l, r, sg, sv = _sgbm_oracle(rl, rr, 8, 48)
     ml, mr = mst_pipeline(
-        l, r, cfg=MSTConfig(max_disp=48, iterations=30), seed=0
+        l, r, cfg=MSTConfig(max_disp=48, iterations=20), seed=0
     )
     m = sv & (sg >= 1) & (sg <= 46) & (ml > 0)
     assert m.mean() > 0.2, m.mean()
     bad2 = (np.abs(ml - sg)[m] > 2.0).mean()
-    assert bad2 < 0.25, f"MST bad2 vs SGBM = {bad2:.4f}"
+    assert bad2 < 0.12, f"MST bad2 vs SGBM = {bad2:.4f}"
+
+
+def test_mst_gate_quarter_scale_priors_flir(rectified_pair):
+    """The flagship gate the round-2 verdict asked for: 3DMST coarse-to-
+    fine at QUARTER scale (512x384) with the smoothness prior ON —
+    bad-2px vs SGBM < 8% (measured 0.029 with 2TGV), and the prior must
+    REDUCE bad2 vs prior=NONE (measured 0.029 vs 0.040)."""
+    import dataclasses
+
+    from stereomatch_tpu.apps.stereo_yin import builtin_cost_volumes
+    from stereomatch_tpu.models.mst import mst_stereo_c2f
+    from stereomatch_tpu.pipelines import to_bgr255
+
+    rl, rr = rectified_pair
+    l, r, sg, sv = _sgbm_oracle(rl, rr, 4, 80)
+    lv, rv = builtin_cost_volumes(jnp.asarray(l), jnp.asarray(r), 80)
+    bl, br = np.asarray(to_bgr255(l)), np.asarray(to_bgr255(r))
+    cfg = MSTConfig(max_disp=80, iterations=30, smoothness_prior="2TGV",
+                    smoothness_iters=60)
+
+    def run(c):
+        out = mst_stereo_c2f(bl, br, lv, rv, c, seed=0, k=2,
+                             coarse_iterations=30, fine_iterations=10)
+        ml = np.asarray(out.left_disp)
+        m = sv & (sg >= 1) & (sg <= 78) & (ml > 0)
+        return (np.abs(ml - sg)[m] > 2.0).mean(), m.mean()
+
+    bad2_prior, cov = run(cfg)
+    assert cov > 0.3, cov
+    assert bad2_prior < 0.08, f"MST c2f+2TGV bad2 vs SGBM = {bad2_prior:.4f}"
+    bad2_none, _ = run(dataclasses.replace(cfg, smoothness_prior="NONE"))
+    assert bad2_prior < bad2_none, (bad2_prior, bad2_none)
