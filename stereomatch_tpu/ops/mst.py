@@ -85,9 +85,14 @@ class ForestArrays(NamedTuple):
     euler_reset: jax.Array  # (2N,) bool, True at each segment's first event
     euler_src: jax.Array  # (2N,) int32: the node whose in/out event this is
     euler_is_in: jax.Array  # (2N,) bool: True at in events
-    seg_carry_nodes: jax.Array  # (Sc,) int32: non-tree-root segment roots
-    seg_carry_parent: jax.Array  # (Sc,) int32: their cut parents
-    seg_carry_w: jax.Array  # (Sc,) f32: w_exp there (0 at padding)
+    # cross-cut carry maps, GATHER form: node p's cut children (segment
+    # roots whose parent is p). Grid degree bounds these at 3 per node
+    # (4-neighbour tree, one edge to the parent), so the per-round carry
+    # injection is 3 static gathers instead of an Sc-sized scatter-add —
+    # Sc is ~N/2 on textured images (delta=4 splits aggressively), and
+    # TPU scatters serialize.
+    cut_child_idx: jax.Array  # (3, N) int32: k-th cut child (self if none)
+    cut_child_w: jax.Array  # (3, N) f32: its w_exp (0 if none)
     tree_start: jax.Array  # (T+1,) int32 (padded to Tmax+1)
     adj_start: jax.Array  # (T+1,) int32
     adj_list: jax.Array  # (M,) int32
@@ -151,17 +156,25 @@ def forest_arrays(forest) -> ForestArrays:
     euler_src[forest.out_pos] = np.arange(n, dtype=np.int32)
     euler_is_in[forest.in_pos] = True
     # carry-injection support: only NON-tree-root segment roots inject
-    # carries across cuts, so the per-round scatter-add touches Sc << N
-    # elements (padded to >= 1 with a zero-weight dummy)
+    # carries across cuts. Inverted to gather form: for each node, its
+    # (at most 3) cut children — see ForestArrays.cut_child_idx.
     is_tree_root = forest.parent_node == np.arange(n, dtype=np.int32)
     sc_nodes = np.nonzero(seg_root & ~is_tree_root)[0].astype(np.int32)
-    if sc_nodes.size == 0:
-        sc_nodes = np.zeros(1, np.int32)
-        sc_parent = np.zeros(1, np.int32)
-        sc_w = np.zeros(1, np.float32)
-    else:
-        sc_parent = forest.parent_node[sc_nodes]
-        sc_w = forest.w_exp[sc_nodes]
+    sc_parent = forest.parent_node[sc_nodes]
+    cut_child_idx = np.tile(np.arange(n, dtype=np.int32), (3, 1))
+    cut_child_w = np.zeros((3, n), np.float32)
+    if sc_nodes.size:
+        order = np.argsort(sc_parent, kind="stable")
+        sp = sc_parent[order]
+        sn = sc_nodes[order]
+        first = np.concatenate([[True], sp[1:] != sp[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(sp.size), 0)
+        )
+        slot = np.arange(sp.size) - run_start
+        assert slot.max() < 3, "grid tree node cannot have >3 cut children"
+        cut_child_idx[slot, sp] = sn
+        cut_child_w[slot, sp] = forest.w_exp[sn]
     # keep adj_list non-empty so gathers are well-formed when the forest is
     # a single tree with no neighbors
     adj_list = forest.adj_list
@@ -186,9 +199,8 @@ def forest_arrays(forest) -> ForestArrays:
         euler_reset=jnp.asarray(euler_reset),
         euler_src=jnp.asarray(euler_src),
         euler_is_in=jnp.asarray(euler_is_in),
-        seg_carry_nodes=jnp.asarray(sc_nodes),
-        seg_carry_parent=jnp.asarray(sc_parent),
-        seg_carry_w=jnp.asarray(sc_w),
+        cut_child_idx=jnp.asarray(cut_child_idx),
+        cut_child_w=jnp.asarray(cut_child_w),
         tree_start=jnp.asarray(forest.tree_start),
         adj_start=jnp.asarray(forest.adj_start),
         adj_list=jnp.asarray(adj_list),
@@ -312,13 +324,14 @@ def tree_filter(
     t0 = e_neg * c_node
 
     def up_step(_, u):
-        # only the Sc non-tree-root segment roots inject (Sc << N), so the
-        # scatter-add works on Sc elements instead of a full-N scatter
-        cr = f.seg_carry_w * u[..., f.seg_carry_nodes]
-        inj = jnp.zeros_like(c_node).at[..., f.seg_carry_parent].add(
-            e_neg[f.seg_carry_parent] * cr
-        )
-        return e_pos * _subtree_sums(t0 + inj, f)
+        # cross-cut carries in GATHER form: node p receives w_c * U(c) from
+        # each of its (<= 3) cut children — three static gathers instead of
+        # an Sc-sized scatter-add (Sc ~ N/2 on textured images; scatters
+        # serialize on TPU)
+        inj = f.cut_child_w[0] * u[..., f.cut_child_idx[0]]
+        inj = inj + f.cut_child_w[1] * u[..., f.cut_child_idx[1]]
+        inj = inj + f.cut_child_w[2] * u[..., f.cut_child_idx[2]]
+        return e_pos * _subtree_sums(t0 + e_neg * inj, f)
 
     u = e_pos * _subtree_sums(t0, f)
     u = jax.lax.fori_loop(0, carry_iters, up_step, u)
