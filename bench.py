@@ -259,23 +259,34 @@ def main():
         float(stream_fn(xm))
         dtm = _time_stepfn(stream_fn, (xm,), 3, warmup=1)
         stream_gbps = m_elems * 4 / dtm / 1e9
-        idxm = jnp.asarray(
-            np.random.default_rng(1).permutation(m_elems).astype(np.int32)
-        )
-        gather_fn = jax.jit(lambda x, i: jnp.sum(x[i]))
-        float(gather_fn(xm, idxm))
-        dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
-        gather_gbps = 2 * m_elems * 4 / dtg / 1e9
-        extra["memsys"] = {
-            "stream_read_gbps": round(stream_gbps, 2),
-            "gather_random_gbps": round(gather_gbps, 2),
-            "gather_penalty": round(stream_gbps / max(gather_gbps, 1e-9), 1),
+        # gather CLASSES: the MST/PM index maps are not random — in_pos is
+        # monotone, parent/sub_end near-diagonal, label_cost a per-row
+        # column select — so measure each class this code actually emits
+        # and derate each engine by its own class, not the random worst
+        # case (the class mix per engine is in the analytic models).
+        grng = np.random.default_rng(1)
+        idx_classes = {
+            "random": grng.permutation(m_elems),
+            "monotone": np.sort(grng.integers(0, m_elems, m_elems)),
+            "local64": np.clip(
+                np.arange(m_elems) + grng.integers(-64, 65, m_elems),
+                0, m_elems - 1,
+            ),
         }
-        print(
-            f"memsys: stream {stream_gbps:.1f} GB/s, gather {gather_gbps:.2f} "
-            f"GB/s (penalty {stream_gbps / max(gather_gbps, 1e-9):.0f}x)",
-            file=sys.stderr,
-        )
+        gather_fn = jax.jit(lambda x, i: jnp.sum(x[i]))
+        mem = {"stream_read_gbps": round(stream_gbps, 2)}
+        for cname, idx_np in idx_classes.items():
+            idxm = jnp.asarray(idx_np.astype(np.int32))
+            float(gather_fn(xm, idxm))
+            dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
+            g = 2 * m_elems * 4 / dtg / 1e9
+            mem[f"gather_{cname}_gbps"] = round(g, 2)
+            mem[f"gather_{cname}_penalty"] = round(
+                stream_gbps / max(g, 1e-9), 1
+            )
+        mem["gather_penalty"] = mem["gather_random_penalty"]  # worst case
+        extra["memsys"] = mem
+        print(f"memsys: {mem}", file=sys.stderr)
     except Exception as e:
         print(f"memsys bench skipped: {e}", file=sys.stderr)
 
@@ -406,37 +417,62 @@ fa = forest_arrays(f)
 # this hidden H2D, not compute
 vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32))
 jax.block_until_ready(vol)
-cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16")
-t0 = time.time()
-a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa,
-                               cfg, max_neighbors=4, iterations=1,
-                               candidate_chunk=4)
-float(jnp.sum(mc))
-t1 = time.time()
-# steady-state: re-run the ALREADY-COMPILED 1-iteration program (a
-# 2-iteration call would retrace — iterations is a static jit arg — and
-# fold a second compile into the measurement); scalar summary keeps
-# tunnel D2H out of the timing
-a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa,
-                               cfg, max_neighbors=4, iterations=1,
-                               candidate_chunk=4)
-float(jnp.sum(mc))
-t2 = time.time()
+out = {}
+for be in ("xla", "pallas"):
+    cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16", scan_backend=be)
+    try:
+        t0 = time.time()
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa,
+                                       cfg, max_neighbors=4, iterations=1,
+                                       candidate_chunk=4)
+        float(jnp.sum(mc))
+        t1 = time.time()
+        # steady-state: re-run the ALREADY-COMPILED 1-iteration program (a
+        # 2-iteration call would retrace — iterations is a static jit arg —
+        # and fold a second compile into the measurement); scalar summary
+        # keeps tunnel D2H out of the timing
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa,
+                                       cfg, max_neighbors=4, iterations=1,
+                                       candidate_chunk=4)
+        float(jnp.sum(mc))
+        t2 = time.time()
+        out[f"compile_s_{be}"] = round(t1 - t0, 1)
+        out[f"ms_per_iteration_{be}"] = round((t2 - t1) * 1e3, 1)
+    except Exception as e:
+        out[f"error_{be}"] = str(e)[:160]
 K = 4 + 9
 n = h * w
 ci = cfg.carry_iters
-# streamed bytes: scans touch ~5 traversals of their event array each
-stream_gb = K * (1 + ci) * (5 * n + 5 * 2 * n) * 4 / 1e9
-# gather lookups: sub_end (N) per up-scan, euler_src (2N) + in_pos (N)
-# per down-scan, label_cost 2N bf16
-gather_gb = (K * ((1 + ci) * (n + 3 * n) * 4 + 2 * n * 2)) / 1e9
-dt = (t2 - t1)
-gb_iter = stream_gb + gather_gb
-print(json.dumps({"compile_s": round(t1 - t0, 1),
-                  "ms_per_iteration": round(dt * 1e3, 1),
-                  "analytic_stream_gb_per_iteration": round(stream_gb, 2),
-                  "analytic_gather_gb_per_iteration": round(gather_gb, 2),
-                  "achieved_gbps": round(gb_iter / dt, 2)}))
+# streamed bytes per scan traversal of the event array: the XLA blocked
+# scan re-materializes raw prefixes + corrections + carries (~5
+# traversals); the Pallas kernel (ops/mst_scan_pallas.py) keeps those in
+# VMEM (read + write = 2)
+for be, trav in (("xla", 5), ("pallas", 2)):
+    out[f"analytic_stream_gb_per_iteration_{be}"] = round(
+        K * (1 + ci) * (trav * n + trav * 2 * n) * 4 / 1e9, 2)
+# gather lookups BY CLASS (memsys measures each class's GB/s on this
+# chip): sub_end per up-scan is near-diagonal (local), euler_src per
+# down-scan follows DFS order (local), in_pos is monotone, label_cost
+# reads node-order-permuted volume rows (local; 2 lookups/node bf16)
+gather_local_gb = (K * ((1 + ci) * (n + 2 * n) * 4 + 2 * n * 2)) / 1e9
+gather_mono_gb = K * (1 + ci) * n * 4 / 1e9
+out["analytic_gather_local_gb_per_iteration"] = round(gather_local_gb, 2)
+out["analytic_gather_monotone_gb_per_iteration"] = round(gather_mono_gb, 2)
+# back-compat aggregates (stream = xla model unless pallas ran)
+best = "pallas" if "ms_per_iteration_pallas" in out else "xla"
+out["scan_backend_used"] = best
+out["ms_per_iteration"] = out.get(f"ms_per_iteration_{best}",
+                                  out.get("ms_per_iteration_xla"))
+out["compile_s"] = out.get(f"compile_s_{best}")
+out["analytic_stream_gb_per_iteration"] = out[
+    f"analytic_stream_gb_per_iteration_{best}"]
+out["analytic_gather_gb_per_iteration"] = round(
+    gather_local_gb + gather_mono_gb, 2)
+if out.get("ms_per_iteration"):
+    gb_iter = (out["analytic_stream_gb_per_iteration"]
+               + out["analytic_gather_gb_per_iteration"])
+    out["achieved_gbps"] = round(gb_iter / (out["ms_per_iteration"] / 1e3), 2)
+print(json.dumps(out))
 """
     _subprocess_probe("mst_1280x960x128", mst_code, 2400, extra)
 
@@ -450,13 +486,24 @@ print(json.dumps({"compile_s": round(t1 - t0, 1),
     try:
         mst = extra.get("mst_1280x960x128", {})
         mem = extra.get("memsys", {})
-        if mst.get("status") == "ok":
+        if mst.get("status") == "ok" and mst.get("ms_per_iteration"):
             equiv_iters = 30 / 4.0 + 10.0  # c2f budget in full-iteration units
             sgb = mst.get("analytic_stream_gb_per_iteration", 0.0)
-            ggb = mst.get("analytic_gather_gb_per_iteration", 0.0)
-            pen = mem.get("gather_penalty", 1.0)
+            # derate each gather class by ITS measured penalty on this
+            # chip (memsys): the MST gathers are local (near-diagonal
+            # sub_end / DFS-order euler_src / node-order label_cost rows)
+            # and monotone (in_pos), not random
+            g_loc = mst.get("analytic_gather_local_gb_per_iteration", 0.0)
+            g_mon = mst.get("analytic_gather_monotone_gb_per_iteration", 0.0)
+            ggb = g_loc + g_mon
+            pen_loc = mem.get("gather_local64_penalty",
+                              mem.get("gather_penalty", 1.0))
+            pen_mon = mem.get("gather_monotone_penalty",
+                              mem.get("gather_penalty", 1.0))
             t_iter_opt = (sgb + ggb) / V5E_HBM_GBPS
-            t_iter_der = sgb / V5E_HBM_GBPS + ggb * pen / V5E_HBM_GBPS
+            t_iter_der = (
+                sgb + g_loc * pen_loc + g_mon * pen_mon
+            ) / V5E_HBM_GBPS
             mst_s_opt = 2 * equiv_iters * t_iter_opt  # both views
             mst_s_der = 2 * equiv_iters * t_iter_der
             t_sgbm = 1.0 / extra["sgbm_bf16"]["v5e_roofline_fps"]

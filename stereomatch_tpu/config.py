@@ -278,6 +278,13 @@ class MSTConfig:
     # GT battery (tests/test_gt_battery.py) and plane recovery
     # (tests/test_mst.py).
     volume_dtype: str = "float32"
+    # Segmented-scan backend for the tree-filter prefix passes. "xla":
+    # blocked triangular-matmul scans (~5 HBM traversals per scan).
+    # "pallas": fused kernel with VMEM-resident segment carries
+    # (ops/mst_scan_pallas.py) — read + write only, the scan-internal
+    # correction gathers never leave VMEM. Same 256-block reassociation;
+    # parity in tests/test_mst_pallas.py.
+    scan_backend: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MSTConfig
+from .mst_scan_pallas import build_packed_scan_maps, segmented_cumsum_pallas
 
 __all__ = [
     "ForestArrays",
@@ -99,6 +100,8 @@ class ForestArrays(NamedTuple):
     sub_end: jax.Array  # (N,) int32: p's within-segment subtree = [p, sub_end)
     nscan: SegScanMaps  # maps for N-length node-order scans (up-sweep)
     escan: SegScanMaps  # maps for 2N-length Euler-event scans (down-sweep)
+    nscan_pk: jax.Array  # packed int32 maps for the Pallas scan backend
+    escan_pk: jax.Array  # (ops/mst_scan_pallas.py; VMEM-resident carries)
     num_trees: int  # static
     height: int
     width: int
@@ -207,6 +210,8 @@ def forest_arrays(forest) -> ForestArrays:
         sub_end=jnp.asarray(sub_end),
         nscan=_make_scan_maps(seg_root),
         escan=_make_scan_maps(euler_reset),
+        nscan_pk=jnp.asarray(build_packed_scan_maps(seg_root)),
+        escan_pk=jnp.asarray(build_packed_scan_maps(euler_reset)),
         num_trees=forest.num_trees,
         height=forest.height,
         width=forest.width,
@@ -271,32 +276,60 @@ def _segmented_cumsum_mm(
     return out[..., :m] if mp != m else out
 
 
-def _subtree_sums(t: jax.Array, f: ForestArrays) -> jax.Array:
+def _make_scans(f: ForestArrays, scan_backend: str, interpret: bool):
+    """(node-order scan, Euler-order scan) for the chosen backend.
+
+    "xla": blocked triangular-matmul scan with XLA-materialized
+    corrections (~5 HBM traversals/scan). "pallas": the fused kernel in
+    ops/mst_scan_pallas.py — VMEM-resident segment carries, read+write
+    only (interpret=True runs it off-TPU for tests)."""
+    if scan_backend == "pallas":
+        return (
+            lambda x: segmented_cumsum_pallas(x, f.nscan_pk, interpret),
+            lambda x: segmented_cumsum_pallas(x, f.escan_pk, interpret),
+        )
+    if scan_backend != "xla":
+        raise ValueError(f"unknown scan_backend: {scan_backend!r}")
+    return (
+        lambda x: _segmented_cumsum_mm(x, f.nscan),
+        lambda x: _segmented_cumsum_mm(x, f.escan),
+    )
+
+
+def _subtree_sums(t: jax.Array, f: ForestArrays, scan_n=None) -> jax.Array:
     """sum over subtree(p) (within segment) of t(q).
 
     t: (..., N) values in node order. Returns (..., N). Node order is
     per-segment preorder, so the within-segment subtree of p is the
     contiguous node range [p, sub_end(p)) — an N-length segmented prefix
     difference, half the events of the Euler formulation."""
-    p = _segmented_cumsum_mm(t, f.nscan)
+    if scan_n is None:
+        scan_n = lambda x: _segmented_cumsum_mm(x, f.nscan)
+    p = scan_n(t)
     p_end = p[..., f.sub_end - 1]
     p_self = p - t  # exclusive prefix at p
     return p_end - p_self
 
 
-def _ancestor_sums(v: jax.Array, f: ForestArrays) -> jax.Array:
+def _ancestor_sums(v: jax.Array, f: ForestArrays, scan_e=None) -> jax.Array:
     """sum over ancestors-or-self (within segment) of v(a), via Euler
     +enter/-exit prefix. v: (..., N) -> (..., N)."""
     n = v.shape[-1]
     shape = v.shape[:-1] + (n,)
+    if scan_e is None:
+        scan_e = lambda x: _segmented_cumsum_mm(x, f.escan)
     # gather formulation: +v at in events, -v at out events
     b = jnp.where(f.euler_is_in, v[..., f.euler_src], -v[..., f.euler_src])
-    q = _segmented_cumsum_mm(b, f.escan)
+    q = scan_e(b)
     return jnp.take_along_axis(q, jnp.broadcast_to(f.in_pos, shape), -1)
 
 
 def tree_filter(
-    c_node: jax.Array, f: ForestArrays, carry_iters: int = 2
+    c_node: jax.Array,
+    f: ForestArrays,
+    carry_iters: int = 2,
+    scan_backend: str = "xla",
+    interpret: bool = False,
 ) -> jax.Array:
     """Yang-style tree-filter aggregation D for all trees at once.
 
@@ -315,6 +348,7 @@ def tree_filter(
     (~3e-4 at delta=4), so k=2 is already below the method's own noise
     floor; each extra round costs two more full Euler-prefix passes.
     """
+    scan_n, scan_e = _make_scans(f, scan_backend, interpret)
     e_neg = jnp.exp(-f.rel_gd)
     e_pos = jnp.exp(f.rel_gd)
     is_tree_root = f.parent_node == jnp.arange(f.parent_node.shape[0])
@@ -331,15 +365,15 @@ def tree_filter(
         inj = f.cut_child_w[0] * u[..., f.cut_child_idx[0]]
         inj = inj + f.cut_child_w[1] * u[..., f.cut_child_idx[1]]
         inj = inj + f.cut_child_w[2] * u[..., f.cut_child_idx[2]]
-        return e_pos * _subtree_sums(t0 + e_neg * inj, f)
+        return e_pos * _subtree_sums(t0 + e_neg * inj, f, scan_n)
 
-    u = e_pos * _subtree_sums(t0, f)
+    u = e_pos * _subtree_sums(t0, f, scan_n)
     u = jax.lax.fori_loop(0, carry_iters, up_step, u)
 
     # ---- down-sweep: D(p) = w_p D(par) + (1 - w_p^2) U(p) ----
     def down(seed_root):
         v = jnp.where(f.seg_root, seed_root, e_pos * w2c * u)
-        return e_neg * _ancestor_sums(v, f)
+        return e_neg * _ancestor_sums(v, f, scan_e)
 
     def down_step(_, d):
         d_par = jnp.take_along_axis(
@@ -353,14 +387,19 @@ def tree_filter(
     return jax.lax.fori_loop(0, carry_iters, down_step, d)
 
 
-def aggregation_norm_inv(f: ForestArrays, carry_iters: int = 2) -> jax.Array:
+def aggregation_norm_inv(
+    f: ForestArrays,
+    carry_iters: int = 2,
+    scan_backend: str = "xla",
+    interpret: bool = False,
+) -> jax.Array:
     """Per-node reciprocal of the tree-filtered ONES volume — the reference's
     cost_norm_factor (ComputeMSTCostNormFactor: up-sweep from 1.0 per node +
     the standard down-sweep, src/PatchMatchStereoGPU.cu:5415-5429; inverted
     once at :5919). Multiplying an aggregate by this turns the weighted
     support SUM into a weighted support MEAN. Computed once per forest."""
     ones = jnp.ones_like(f.w_exp)
-    return 1.0 / tree_filter(ones, f, carry_iters)
+    return 1.0 / tree_filter(ones, f, carry_iters, scan_backend, interpret)
 
 
 def label_cost(
@@ -370,12 +409,21 @@ def label_cost(
     c: jax.Array,
     f: ForestArrays,
     max_disp: int,
+    vol_in_node_order: bool = False,
 ) -> jax.Array:
     """Per-node data cost of plane labels (a, b, c) given per-NODE params.
 
     d = x*a + y*b + c, linearly interpolated in the (H, W, D) cost volume;
     out-of-range planes cost 0.5 (ref: compute3DLabelCost,
     src/Stereo3DMST.cpp:103-117). a/b/c: (..., N) node-order arrays.
+
+    vol_in_node_order: cost_vol's rows are already permuted to NODE order
+    (parallel.mst_mesh.volume_in_node_order). Then row p of the flat
+    volume belongs to node p, so the per-iteration gather reads
+    CONSECUTIVE rows with a per-row column select — the local-window
+    gather class — instead of permutation-random rows. The permutation
+    itself costs one volume pass, amortized over every iteration x
+    candidate of an optimize call.
     """
     pix = f.pixel_of_node
     x = (pix % f.width).astype(jnp.float32)
@@ -387,14 +435,15 @@ def label_cost(
     in_range = (lo >= 0) & (hi < max_disp)
     lo_c = jnp.clip(lo, 0, max_disp - 1)
     hi_c = jnp.clip(hi, 0, max_disp - 1)
-    vol_flat = cost_vol.reshape(-1, cost_vol.shape[-1])  # (HW, D)
-    # advanced indexing broadcasts pix (N,) against (..., N) d-indices,
+    vol_flat = cost_vol.reshape(-1, cost_vol.shape[-1])  # (HW or N, D)
+    row = jnp.arange(pix.shape[0], dtype=jnp.int32) if vol_in_node_order else pix
+    # advanced indexing broadcasts row (N,) against (..., N) d-indices,
     # so batched candidate axes ride along for free; a bf16 volume
     # (MSTConfig.volume_dtype) halves the gather bytes — the lerp and all
     # aggregation stay f32 (costs are in [0, 0.5]: bf16's 8 mantissa bits
     # give ~2e-3 absolute cost noise, below the aggregation noise floor)
-    c_lo = vol_flat[pix, lo_c].astype(jnp.float32)
-    c_hi = vol_flat[pix, hi_c].astype(jnp.float32)
+    c_lo = vol_flat[row, lo_c].astype(jnp.float32)
+    c_hi = vol_flat[row, hi_c].astype(jnp.float32)
     frac = d - d_floor
     return jnp.where(in_range, (1.0 - frac) * c_lo + frac * c_hi, 0.5)
 
@@ -553,7 +602,11 @@ def make_candidate_fn(
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "max_neighbors", "iterations", "candidate_chunk")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_neighbors", "iterations", "candidate_chunk",
+        "scan_interpret",
+    ),
 )
 def mst_pms_optimize(
     key: jax.Array,
@@ -564,6 +617,7 @@ def mst_pms_optimize(
     iterations: int | None = None,
     init_state=None,
     candidate_chunk: int | None = None,
+    scan_interpret: bool = False,
 ):
     """The MST_PMS loop (ref: src/Stereo3DMST.cpp:546-629, 100 iterations at
     :858-889) for ALL trees in parallel.
@@ -592,6 +646,11 @@ def mst_pms_optimize(
     max_disp = cfg.max_disp
     if cfg.volume_dtype != "float32":
         cost_vol = cost_vol.astype(cfg.volume_dtype)
+    # permute the volume to node order ONCE so every iteration's label_cost
+    # gathers consecutive rows (local-window class) instead of
+    # permutation-random ones; one volume pass amortized over
+    # iterations x candidates (see label_cost docstring)
+    cost_vol = cost_vol.reshape(-1, cost_vol.shape[-1])[f.pixel_of_node]
 
     deltas_d, deltas_n = refine_deltas(max_disp)
     n_refine = int(deltas_d.shape[0])
@@ -601,7 +660,7 @@ def mst_pms_optimize(
     # computed once and applied to every aggregate before the min updates.
     # init_state's min_cost must come from a run with the same flag.
     inv_norm = (
-        aggregation_norm_inv(f, cfg.carry_iters)
+        aggregation_norm_inv(f, cfg.carry_iters, cfg.scan_backend, scan_interpret)
         if cfg.normalize_aggregation
         else None
     )
@@ -633,8 +692,12 @@ def mst_pms_optimize(
             na = pa_[:, f.tree_id]  # (Kb, N)
             nb = pb_[:, f.tree_id]
             nc = pc_[:, f.tree_id]
-            cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
-            agg = tree_filter(cn, f, cfg.carry_iters)  # (Kb, N)
+            cn = label_cost(
+                cost_vol, na, nb, nc, f, max_disp, vol_in_node_order=True
+            )
+            agg = tree_filter(
+                cn, f, cfg.carry_iters, cfg.scan_backend, scan_interpret
+            )  # (Kb, N)
             return agg if inv_norm is None else agg * inv_norm
 
         if candidate_chunk is None or candidate_chunk >= k_total:

@@ -97,7 +97,7 @@ def _body(
         nb = pb_[:, f.tree_id]
         nc = pc_[:, f.tree_id]
         cn = label_cost(cost_vol, na, nb, nc, f, max_disp)
-        agg = tree_filter(cn, f, cfg.carry_iters)  # (kloc, N)
+        agg = tree_filter(cn, f, cfg.carry_iters, cfg.scan_backend)  # (kloc, N)
         live = jnp.stack([j < k_total for j in local_js])
         agg = jnp.where(live[:, None], agg, jnp.inf)
 
@@ -290,7 +290,7 @@ def _body_sharded(
             max_disp,
         )  # (kloc, Nloc)
         cn = lax.all_gather(cn_loc, "node", axis=1, tiled=True)  # (kloc, N)
-        agg = tree_filter(cn, f, cfg.carry_iters)
+        agg = tree_filter(cn, f, cfg.carry_iters, cfg.scan_backend)
         if inv_norm is not None:
             agg = agg * inv_norm
         live = jnp.stack([j < k_total for j in local_js])
