@@ -391,6 +391,44 @@ print(json.dumps(out))
     except Exception as e:
         print(f"treebuild bench skipped: {e}", file=sys.stderr)
 
+    # ---- on-device forest builder (ops/device_forest.py): the host-free
+    # alternative to treebuild — segmentation + Boruvka MST + Euler
+    # numbering as one jitted program. Subprocess-guarded: the program is
+    # sort/Wyllie-heavy and large for the tunnel's remote compiler.
+    # Timings here are tunnel-environmental (random-class gathers run at
+    # ~0.5 GB/s on this link, memsys); the entry records measured ms +
+    # the structural note that the build is sort+pointer-jump bound
+    # (~log2 N passes over 2E arcs), not volume bound. ----
+    fd_code = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.ops.device_forest import build_forest_device
+out = {}
+rng = np.random.default_rng(0)
+for tag, (h, w) in (("480x640", (480, 640)), ("960x1280", (960, 1280))):
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    for _ in range(3):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+    wr = jax.block_until_ready(jnp.asarray(np.abs(img[:, 1:] - img[:, :-1]).sum(-1)))
+    wd = jax.block_until_ready(jnp.asarray(np.abs(img[1:] - img[:-1]).sum(-1)))
+    tmax = 1 << int(np.ceil(np.log2(max(256, 4 * h * w // 200))))
+    try:
+        t0 = time.time()
+        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
+        float(jnp.sum(raw["rel_gd"]))  # jitted scalar force (CLAUDE.md)
+        t1 = time.time()
+        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
+        float(jnp.sum(raw["rel_gd"]))
+        t2 = time.time()
+        out[tag] = {"status": "ok", "compile_s": round(t1 - t0, 1),
+                    "ms": round((t2 - t1) * 1e3, 1),
+                    "trees": int(raw["num_trees_actual"])}
+    except Exception as e:
+        out[tag] = {"status": "error", "error": str(e)[:140]}
+print(json.dumps(out))
+"""
+    _subprocess_probe("forest_device", fd_code, 1800, extra)
+
     # ---- 3DMST at 1280x960x128: subprocess with timeout (the tunnel's
     # remote compiler has hung on volume-scale MST; record it).
     # Round-3 scan structure (ops/mst.py): per candidate per tree_filter,

@@ -278,6 +278,15 @@ class MSTConfig:
     # GT battery (tests/test_gt_battery.py) and plane recovery
     # (tests/test_mst.py).
     volume_dtype: str = "float32"
+    # Forest construction backend. "host": the exact sequential builder
+    # (native/treebuild.cpp C++, pyforest.py fallback) — greedy top-down
+    # segment splits, 0.9-2 s per view at 2048x1536 on the host (hide it
+    # with apps/stream.py lookahead). "device": ops/device_forest.py —
+    # the whole segmentation -> MST -> Euler pipeline as one jitted XLA
+    # program (Boruvka partition family, band-quantized segment splits
+    # with the same rel_gd <= max_log_range guarantee); no host work in
+    # the frame loop at all. Parity: tests/test_device_forest.py.
+    forest_backend: str = "host"
     # Segmented-scan backend for the tree-filter prefix passes. "xla":
     # blocked triangular-matmul scans (~5 HBM traversals per scan).
     # "pallas": fused kernel with VMEM-resident segment carries

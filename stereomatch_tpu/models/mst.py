@@ -45,11 +45,45 @@ class MSTOutput(NamedTuple):
     left_valid: jax.Array
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(1, int(x - 1)).bit_length()
+
+
 def build_view_forest(bgr: np.ndarray, cfg: MSTConfig):
-    """Host-side forest construction for one view (steps 1-2 above)."""
+    """Forest construction for one view (steps 1-2 above).
+
+    cfg.forest_backend selects the exact sequential HOST builder
+    (native/treebuild.cpp) or the fully on-DEVICE jitted pipeline
+    (ops/device_forest.py) — the latter keeps the whole frame loop on
+    the chip. Tree/adjacency capacities for the device path are bucketed
+    to powers of two so recompiles only happen across size classes.
+    """
     img = jnp.asarray(np.asarray(bgr, np.float32))
     if cfg.median_prefilter:
         img = median3x3(img)
+    if cfg.forest_backend == "device":
+        from ..ops.device_forest import (
+            build_forest_device,
+            device_forest_arrays,
+        )
+
+        im = img if img.ndim == 3 else img[..., None]
+        wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
+        wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
+        h, w = int(im.shape[0]), int(im.shape[1])
+        # capacity bucket: components are >= ~min_cc_size after the merge
+        # phase; 4x headroom, validated by device_forest_arrays(check=True)
+        tmax = _next_pow2(max(256, 4 * (h * w) // max(cfg.min_cc_size, 1)))
+        raw = build_forest_device(
+            wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
+            delta=cfg.max_log_range, tmax=tmax, adj_cap=8 * tmax,
+        )
+        return device_forest_arrays(raw, h, w, tmax=tmax)
+    if cfg.forest_backend != "host":
+        raise ValueError(
+            f"forest_backend must be 'host' or 'device', got "
+            f"{cfg.forest_backend!r}"
+        )
     wr, wd = color_edge_weights(np.asarray(img))
     forest = build_forest(
         wr, wd, cfg.c, cfg.min_cc_size, cfg.gamma, cfg.max_log_range

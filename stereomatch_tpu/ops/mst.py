@@ -359,12 +359,12 @@ def tree_filter(
 
     def up_step(_, u):
         # cross-cut carries in GATHER form: node p receives w_c * U(c) from
-        # each of its (<= 3) cut children — three static gathers instead of
-        # an Sc-sized scatter-add (Sc ~ N/2 on textured images; scatters
-        # serialize on TPU)
+        # each of its (<= 3; 4 at tree roots, device builder) cut children —
+        # a few static gathers instead of an Sc-sized scatter-add (Sc ~ N/2
+        # on textured images; scatters serialize on TPU)
         inj = f.cut_child_w[0] * u[..., f.cut_child_idx[0]]
-        inj = inj + f.cut_child_w[1] * u[..., f.cut_child_idx[1]]
-        inj = inj + f.cut_child_w[2] * u[..., f.cut_child_idx[2]]
+        for s in range(1, f.cut_child_idx.shape[0]):
+            inj = inj + f.cut_child_w[s] * u[..., f.cut_child_idx[s]]
         return e_pos * _subtree_sums(t0 + e_neg * inj, f, scan_n)
 
     u = e_pos * _subtree_sums(t0, f, scan_n)
