@@ -127,6 +127,7 @@ def run_mst(
     iterations: int = 20,
     verbose: bool = True,
     resume: bool = False,
+    forest_backend: str = "host",
 ):
     """Streaming 3DMST with the host forest build OFF the critical path:
     frame N+1's forests are built by a worker thread (the ctypes C++
@@ -161,7 +162,13 @@ def run_mst(
         if not ids:
             return np.zeros((0,), np.float32), []
     step = int(round(1.0 / scale))
-    cfg = MSTConfig(max_disp=max_disp, iterations=iterations)
+    # forest_backend="device" runs segmentation + forest construction as
+    # device programs (ops/device_forest.py); the lookahead thread then
+    # just dispatches async device work instead of running C++
+    cfg = MSTConfig(
+        max_disp=max_disp, iterations=iterations,
+        forest_backend=forest_backend,
+    )
 
     cal = load_stereo_calibration(calib).rescaled(scale)
     frames = []
@@ -237,10 +244,15 @@ def main():
                     help="mst engine: label-optimization iterations")
     ap.add_argument("--resume", action="store_true",
                     help="skip frames whose output already exists")
+    ap.add_argument("--forest-backend", choices=("host", "device"),
+                    default="host",
+                    help="mst engine: host C++ builder (lookahead-hidden) "
+                    "or the fully on-device jitted builder")
     a = ap.parse_args()
     if a.engine == "mst":
         run_mst(a.data_dir, a.calib, a.out_dir, scale=a.scale,
-                max_disp=a.max_disp, iterations=a.iterations, resume=a.resume)
+                max_disp=a.max_disp, iterations=a.iterations, resume=a.resume,
+                forest_backend=a.forest_backend)
     else:
         run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
             resume=a.resume)

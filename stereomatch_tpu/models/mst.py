@@ -20,6 +20,7 @@ cost layer.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -36,7 +37,13 @@ from ..ops.mst import (
 )
 from ..ops.postprocess import lr_consistency
 
-__all__ = ["mst_stereo", "mst_stereo_c2f", "MSTOutput", "build_view_forest"]
+__all__ = [
+    "mst_stereo",
+    "mst_stereo_c2f",
+    "mst_stereo_fused",
+    "MSTOutput",
+    "build_view_forest",
+]
 
 
 class MSTOutput(NamedTuple):
@@ -161,6 +168,84 @@ def mst_stereo(
     disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
     disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
 
+    disp_l_checked, valid = lr_consistency(
+        disp_l, disp_r, float(cfg.max_disp), fill=False
+    )
+    return MSTOutput(disp_l_checked, disp_r, valid)
+
+
+def _fused_capacities(h: int, w: int, cfg: MSTConfig) -> tuple[int, int]:
+    tmax = _next_pow2(max(256, 4 * (h * w) // max(cfg.min_cc_size, 1)))
+    return tmax, 8 * tmax
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_neighbors", "h", "w", "tmax", "adj_cap"),
+)
+def _mst_frame_fused(
+    left_bgr, right_bgr, left_vol, right_vol, key, cfg: MSTConfig,
+    max_neighbors: int, h: int, w: int, tmax: int, adj_cap: int,
+):
+    from ..ops.device_forest import build_forest_device, device_forest_arrays
+
+    def view(bgr, vol, k):
+        img = median3x3(bgr) if cfg.median_prefilter else bgr
+        im = img if img.ndim == 3 else img[..., None]
+        wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
+        wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
+        raw = build_forest_device(
+            wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
+            delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
+        )
+        fa = device_forest_arrays(raw, h, w, tmax=tmax, check=False)
+        a, b, c, _ = mst_pms_optimize(
+            k, vol, fa, cfg, max_neighbors=max_neighbors
+        )
+        return labels_to_disparity(a, b, c, fa, cfg.max_disp) * (
+            cfg.max_disp - 1.0
+        )
+
+    kl, kr = jax.random.split(key)
+    disp_l = view(left_bgr, left_vol, kl)
+    disp_r = view(right_bgr, right_vol, kr)
+    return disp_l, disp_r
+
+
+def mst_stereo_fused(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    cfg: MSTConfig = MSTConfig(),
+    seed: int = 0,
+    max_neighbors: int = 8,
+) -> MSTOutput:
+    """The ENTIRE 3DMST frame as one jitted XLA program — median prefilter,
+    edge weights, segmentation, MST forest, Euler numbering, all label
+    iterations, disparity and the LR check — with zero host round-trips
+    between stages (requires the device forest path; same RNG stream as
+    mst_stereo with forest_backend="device", tests/test_device_forest.py).
+    The reference serializes CPU graph construction against GPU
+    optimization per frame (src/Stereo3DMST.cpp:841-889); here the chip
+    never waits on the host at all.
+
+    The optional smoothness prior and the LR check run as (device-side)
+    follow-up dispatches only because the prior's parameter surface is
+    selected by string at the Python level.
+    """
+    h, w = int(np.asarray(left_bgr).shape[0]), int(np.asarray(left_bgr).shape[1])
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
+    key = jax.random.PRNGKey(seed)
+    disp_l, disp_r = _mst_frame_fused(
+        jnp.asarray(np.asarray(left_bgr, np.float32)),
+        jnp.asarray(np.asarray(right_bgr, np.float32)),
+        jnp.asarray(left_vol),
+        jnp.asarray(right_vol),
+        key, cfg, max_neighbors, h, w, tmax, adj_cap,
+    )
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
     disp_l_checked, valid = lr_consistency(
         disp_l, disp_r, float(cfg.max_disp), fill=False
     )

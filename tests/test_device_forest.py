@@ -267,6 +267,35 @@ def test_mst_stereo_device_backend_absolute_gt():
     assert mm["bad2"] < 0.10, mm
 
 
+def test_fused_frame_matches_unfused_device_path():
+    """mst_stereo_fused (the whole frame as ONE jitted program) follows
+    the same RNG stream and stages as mst_stereo with
+    forest_backend="device" — outputs agree up to XLA fusion-level fp
+    reassociation (label argmins can flip only on fp ties)."""
+    from stereomatch_tpu.models.mst import mst_stereo, mst_stereo_fused
+
+    rng = np.random.default_rng(9)
+    h, w, d = 40, 56, 16
+    bgr_l = rng.random((h, w, 3)).astype(np.float32) * 255
+    for _ in range(2):
+        bgr_l = (bgr_l + np.roll(bgr_l, 1, 0) + np.roll(bgr_l, 1, 1)) / 3
+    bgr_r = np.roll(bgr_l, -3, axis=1)
+    vol_l = (rng.random((h, w, d)) * 0.5).astype(np.float32)
+    vol_r = (rng.random((h, w, d)) * 0.5).astype(np.float32)
+    cfg = MSTConfig(
+        max_disp=d, iterations=8, min_cc_size=20, c=800.0,
+        forest_backend="device",
+    )
+    out_u = mst_stereo(bgr_l, bgr_r, vol_l, vol_r, cfg, seed=0,
+                       max_neighbors=4)
+    out_f = mst_stereo_fused(bgr_l, bgr_r, vol_l, vol_r, cfg, seed=0,
+                             max_neighbors=4)
+    du, df = np.asarray(out_u.right_disp), np.asarray(out_f.right_disp)
+    assert (np.abs(du - df) < 0.1).mean() > 0.95
+    cu, cf = np.asarray(out_u.left_disp), np.asarray(out_f.left_disp)
+    assert (np.abs(cu - cf) < 0.1).mean() > 0.95
+
+
 def test_capacity_checks_raise():
     rng = np.random.default_rng(0)
     wr, wd = _random_weights(rng, 10, 12, tied=False)
