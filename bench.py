@@ -478,7 +478,28 @@ for be in ("xla", "pallas"):
         out[f"ms_per_iteration_{be}"] = round((t2 - t1) * 1e3, 1)
     except Exception as e:
         out[f"error_{be}"] = str(e)[:160]
-K = 4 + 9
+# per-iteration candidate counts: full annealed ladder vs the SEEDED
+# path's truncated ladder (models/sgbm_mst.py enters at 2 px) — every
+# analytic byte term below is proportional to K
+from stereomatch_tpu.ops.mst import refine_deltas
+K = 4 + int(refine_deltas(d)[0].shape[0])
+K_seeded = 4 + int(refine_deltas(d, start=2.0)[0].shape[0])
+out["k_full"], out["k_seeded"] = K, K_seeded
+# measured seeded-ladder iteration (same program shape, fewer candidates)
+try:
+    cfgs = MSTConfig(max_disp=d, volume_dtype="bfloat16")
+    a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfgs,
+                                   max_neighbors=4, iterations=1,
+                                   candidate_chunk=4, refine_start=2.0)
+    float(jnp.sum(mc))  # compile + first run
+    t1 = time.time()
+    a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfgs,
+                                   max_neighbors=4, iterations=1,
+                                   candidate_chunk=4, refine_start=2.0)
+    float(jnp.sum(mc))
+    out["ms_per_iteration_seeded"] = round((time.time() - t1) * 1e3, 1)
+except Exception as e:
+    out["error_seeded"] = str(e)[:160]
 n = h * w
 ci = cfg.carry_iters
 # streamed bytes per scan traversal of the event array: the XLA blocked
@@ -564,6 +585,45 @@ print(json.dumps(out))
                 f"{fps_opt:.1f} (optimistic); local {local_s:.1f} s/frame",
                 file=sys.stderr,
             )
+
+            # ---- SEEDED composition (models/sgbm_mst.py): SGBM runs on
+            # BOTH views (mirror trick) and its maps seed the MST planes,
+            # so label optimization is F=4 truncated-ladder iterations
+            # (K_seeded candidates instead of K_full — bytes scale with
+            # K) plus one aggregation pass for the seed's true cost.
+            # Quality: better than flat-30 on the GT battery at this very
+            # budget (tests/test_mst_seeded.py, PARITY.md). ----
+            kf, ks = mst.get("k_full"), mst.get("k_seeded")
+            if kf and ks:
+                f_fine = 4.0
+                equiv_seeded = f_fine * ks / kf + 1.0 / kf  # + seed pass
+                mst_s_opt_s = 2 * equiv_seeded * t_iter_opt
+                mst_s_der_s = 2 * equiv_seeded * t_iter_der
+                fps_opt_s = 1.0 / (2 * t_sgbm + mst_s_opt_s)
+                fps_der_s = 1.0 / (2 * t_sgbm + mst_s_der_s)
+                ms_it_seed = mst.get(
+                    "ms_per_iteration_seeded",
+                    mst["ms_per_iteration"] * ks / kf,
+                )
+                local_s_s = (
+                    2 * (f_fine + 1.0 / ks) * ms_it_seed / 1e3 + 2.0 / fps
+                )
+                extra["sgbm_plus_mst_seeded"] = {
+                    "fine_iterations_per_view": f_fine,
+                    "equiv_full_ladder_iterations": round(equiv_seeded, 2),
+                    "v5e_fps_optimistic": round(fps_opt_s, 1),
+                    "v5e_fps_gather_derated": round(fps_der_s, 2),
+                    "local_tunnel_s_per_frame": round(local_s_s, 1),
+                    "note": "SGBM both views + plane-fit seed + F=4 "
+                    "truncated-ladder MST; GT-battery-gated "
+                    "(beats flat-30 on EPE/bad2, PARITY.md)",
+                }
+                print(
+                    f"sgbm_plus_mst_seeded: v5e fps {fps_der_s:.1f} "
+                    f"(derated) .. {fps_opt_s:.1f} (optimistic); local "
+                    f"{local_s_s:.1f} s/frame",
+                    file=sys.stderr,
+                )
     except Exception as e:
         print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
 
@@ -607,7 +667,20 @@ print(json.dumps(out))
     # bracket); the optimistic bound and every measured number ride in
     # "extra". Falls back to measured SGBM-only fps if the MST probe
     # failed.
-    if "sgbm_plus_mst" in extra:
+    if "sgbm_plus_mst_seeded" in extra:
+        # the seeded composition is the production recipe: same (better)
+        # GT-battery quality as the flat/c2f runs at a fraction of the
+        # tree-filter bytes (PARITY.md)
+        headline = {
+            "metric": "sgbm_plus_mst_seeded_v5e_analytic_fps_1280x960x128",
+            "value": extra["sgbm_plus_mst_seeded"]["v5e_fps_gather_derated"],
+            "unit": "fps",
+            "vs_baseline": round(
+                extra["sgbm_plus_mst_seeded"]["v5e_fps_gather_derated"] / 30.0,
+                3,
+            ),
+        }
+    elif "sgbm_plus_mst" in extra:
         headline = {
             "metric": "sgbm_plus_mst_v5e_analytic_fps_1280x960x128",
             "value": extra["sgbm_plus_mst"]["v5e_fps_gather_derated"],

@@ -17,6 +17,8 @@ Algorithms:
             AD+gradient volume + guided filter + WTA + Huber denoise
             (costVolumeStereoPlusVariationalDenoise)
   mst       Stereo3DMST segment-tree pipeline (src/Stereo3DMST.cpp)
+  sgbm_mst  SGBM-seeded 3DMST — the BASELINE north-star composition as
+            one pipeline (models/sgbm_mst.py)
   pm        slanted-plane PatchMatch (src/pm.cpp adgrad metric + LR/fill/
             median post; src/PatchMatchStereoGPU.cu:2602-3023)
   coupled   coupled PatchMatch<->Huber-ROF alternation over the built-in
@@ -43,7 +45,8 @@ def main(argv=None):
     ap.add_argument("right")
     ap.add_argument("--algorithm", default="hh",
                     choices=["bm", "sgbm", "hh", "sgbm3way", "census",
-                             "costvolume", "mst", "pm", "coupled"])
+                             "costvolume", "mst", "sgbm_mst", "pm",
+                             "coupled"])
     ap.add_argument("--blocksize", type=int, default=None,
                     help="matching block size (default: 5 for sgbm modes, "
                          "9 for bm, like the reference CLI)")
@@ -162,21 +165,31 @@ def main(argv=None):
                 CoupledConfig(max_disp=nd - 1),
             )
         disp = np.asarray(out.smoothed)
-    else:  # mst
+    else:  # mst / sgbm_mst
         from ..config import MSTConfig
         from ..models.mst import mst_stereo
+        from ..models.sgbm_mst import sgbm_mst_stereo
         from .stereo_yin import builtin_cost_volumes
 
         bgr_l = jnp.asarray(np.asarray(left, np.float32)[..., ::-1])
         bgr_r = jnp.asarray(np.asarray(right, np.float32)[..., ::-1])
-        with timer.stage("mst"):
+        with timer.stage(a.algorithm):
             lvol, rvol = builtin_cost_volumes(
                 jnp.asarray(np.asarray(left, np.float32)),
                 jnp.asarray(np.asarray(right, np.float32)),
                 nd,
             )
-            out = mst_stereo(np.asarray(bgr_l), np.asarray(bgr_r), lvol, rvol,
-                             MSTConfig(max_disp=nd))
+            if a.algorithm == "sgbm_mst":
+                # the north-star composition: SGBM seeds the MST planes
+                out = sgbm_mst_stereo(
+                    np.asarray(bgr_l), np.asarray(bgr_r), lvol, rvol,
+                    MSTConfig(max_disp=nd),
+                )
+            else:
+                out = mst_stereo(
+                    np.asarray(bgr_l), np.asarray(bgr_r), lvol, rvol,
+                    MSTConfig(max_disp=nd),
+                )
         disp = np.asarray(out.left_disp)
 
     print(timer.report())

@@ -24,6 +24,13 @@ from .mst import (  # noqa: F401
     build_view_forest,
     mst_stereo,
     mst_stereo_c2f,
+    mst_stereo_fused,
+    mst_stereo_seeded,
+)
+from .sgbm_mst import (  # noqa: F401
+    sgbm_mst_stereo,
+    sgbm_mst_stereo_fused,
+    sgbm_seed_disparities,
 )
 from .patchmatch import patchmatch_pipeline, PatchMatchOutput  # noqa: F401
 from .coupled import (  # noqa: F401

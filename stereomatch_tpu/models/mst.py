@@ -41,6 +41,7 @@ __all__ = [
     "mst_stereo",
     "mst_stereo_c2f",
     "mst_stereo_fused",
+    "mst_stereo_seeded",
     "MSTOutput",
     "build_view_forest",
 ]
@@ -252,6 +253,80 @@ def mst_stereo_fused(
     return MSTOutput(disp_l_checked, disp_r, valid)
 
 
+def _seed_min_cost(vol, a0, b0, c0, fa, cfg: MSTConfig):
+    """TRUE aggregated cost of seed labels, so the init is sticky against
+    the optimizer's per-pixel min updates (normalized consistently with
+    mst_pms_optimize's comparisons when cost_norm_factor is on)."""
+    from ..ops.mst import aggregation_norm_inv, label_cost, tree_filter
+
+    mc0 = tree_filter(
+        label_cost(vol, a0, b0, c0, fa, cfg.max_disp), fa, cfg.carry_iters,
+        cfg.scan_backend,
+    )
+    if cfg.normalize_aggregation:
+        mc0 = mc0 * aggregation_norm_inv(
+            fa, cfg.carry_iters, cfg.scan_backend
+        )
+    return mc0
+
+
+def mst_stereo_seeded(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    seed_disp_l,
+    seed_disp_r,
+    cfg: MSTConfig = MSTConfig(),
+    seed: int = 0,
+    fine_iterations: int | None = None,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 8,
+) -> MSTOutput:
+    """3DMST seeded from per-pixel disparity maps (e.g. SGBM's output —
+    models/sgbm_mst.py composes exactly that): plane labels come from the
+    smoothed seed's local gradients (ops/mst.py::plane_labels_from_disparity)
+    with their true aggregated cost, and the optimizer runs only a short
+    refinement phase with the annealed ladder entered at `refine_start`
+    pixels instead of Dmax/2.
+
+    Beyond the reference (always 100 random-init full-ladder iterations,
+    src/Stereo3DMST.cpp:858-889): on the north-star SGBM+3DMST composition
+    the SGBM map exists anyway, and seeding cuts both the iteration count
+    AND the per-iteration candidate count — quality gated absolutely in
+    tests/test_gt_battery.py and measured in PARITY.md.
+    """
+    from ..ops.mst import plane_labels_from_disparity
+
+    fi = max(2, cfg.iterations // 10) if fine_iterations is None else fine_iterations
+    key = jax.random.PRNGKey(seed)
+    kl, kr = jax.random.split(key)
+
+    def view(k, bgr, vol, seed_disp):
+        vol = jnp.asarray(vol)
+        if cfg.volume_dtype != "float32":
+            vol = vol.astype(cfg.volume_dtype)
+        fa = build_view_forest(bgr, cfg)
+        a0, b0, c0 = plane_labels_from_disparity(jnp.asarray(seed_disp), fa)
+        mc0 = _seed_min_cost(vol, a0, b0, c0, fa, cfg)
+        a, b, c, _ = mst_pms_optimize(
+            k, vol, fa, cfg, max_neighbors=max_neighbors, iterations=fi,
+            init_state=(a0, b0, c0, mc0), refine_start=refine_start,
+        )
+        return labels_to_disparity(a, b, c, fa, cfg.max_disp) * (
+            cfg.max_disp - 1.0
+        )
+
+    disp_l = view(kl, left_bgr, left_vol, seed_disp_l)
+    disp_r = view(kr, right_bgr, right_vol, seed_disp_r)
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
+    disp_l_checked, valid = lr_consistency(
+        disp_l, disp_r, float(cfg.max_disp), fill=False
+    )
+    return MSTOutput(disp_l_checked, disp_r, valid)
+
+
 def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
               fine_iters: int, max_neighbors: int):
     """Coarse-to-fine label optimization for ONE view (hierarchical
@@ -266,8 +341,6 @@ def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
     phase happens on a volume k^3 times smaller.
     """
     import dataclasses
-
-    from ..ops.mst import aggregation_norm_inv, label_cost, tree_filter
 
     vol = jnp.asarray(vol)
     if cfg.volume_dtype != "float32":
@@ -299,14 +372,7 @@ def _c2f_view(key, bgr, vol, cfg: MSTConfig, k: int, coarse_iters: int,
     a0 = a_img[ys, xs]
     b0 = b_img[ys, xs]
     c0 = c_img[ys, xs] * float(k)
-    # seed with the TRUE aggregated cost so the init is sticky (normalized
-    # consistently with mst_pms_optimize's comparisons when the
-    # cost_norm_factor flag is on)
-    mc0 = tree_filter(
-        label_cost(vol, a0, b0, c0, fa, cfg.max_disp), fa, cfg.carry_iters
-    )
-    if cfg.normalize_aggregation:
-        mc0 = mc0 * aggregation_norm_inv(fa, cfg.carry_iters)
+    mc0 = _seed_min_cost(vol, a0, b0, c0, fa, cfg)
     a, b, c, _ = mst_pms_optimize(
         kf, vol, fa, cfg, max_neighbors=max_neighbors, iterations=fine_iters,
         init_state=(a0, b0, c0, mc0),

@@ -1,0 +1,208 @@
+"""SGBM + 3DMST: the north-star composition as one pipeline.
+
+BASELINE.md's headline target is end-to-end SGBM+3DMST throughput. The
+reference runs them as two unrelated programs (StereoTest's SGBM,
+src/StereoMatching.cpp:148-193, and StereoYin's 3DMST,
+src/stereo_Yin.cpp:207 -> src/Stereo3DMST.cpp:714-912) — the 3DMST always
+starts from random planes and burns 100 full-ladder iterations
+(:858-889). Here the composition is an actual pipeline: the SGBM
+disparity that the target workload computes anyway becomes the 3DMST
+plane-label seed (ops/mst.py::plane_labels_from_disparity), so label
+optimization degenerates to a short refinement phase with a truncated
+annealed ladder (models/mst.py::mst_stereo_seeded) — measured on the GT
+battery and the FLIR curve to match the flat-run plateau at a fraction
+of the tree-filter bytes (PARITY.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MSTConfig, SGBMConfig
+from ..ops.postprocess import nearest_valid_fill
+from ..ops.sgbm import sgbm_disparity
+from .mst import MSTOutput, mst_stereo_seeded
+
+__all__ = [
+    "sgbm_seed_disparities",
+    "sgbm_mst_stereo",
+    "sgbm_mst_stereo_fused",
+]
+
+
+def _gray_from_bgr(bgr) -> jax.Array:
+    # jnp-only (no host round-trip): also called under jit by the fused
+    # frame program
+    arr = jnp.asarray(bgr, jnp.float32)
+    if arr.ndim == 2:
+        return arr
+    # BT.601 luma on BGR channel order
+    return 0.114 * arr[..., 0] + 0.587 * arr[..., 1] + 0.299 * arr[..., 2]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _seed_pair(gl: jax.Array, gr: jax.Array, cfg: SGBMConfig):
+    """LEFT- and RIGHT-view SGBM disparities, invalids filled.
+
+    The right view reuses the left-view engine on the horizontally
+    mirrored swapped pair: right-image pixel x matches left-image pixel
+    x + d, which after mirroring both images is exactly the left-view
+    matching problem, so d_R(x, y) = d_mirror(W-1-x, y)."""
+    out_l = sgbm_disparity(gl, gr, cfg)
+    dl = nearest_valid_fill(out_l.disparity, out_l.valid)
+    out_r = sgbm_disparity(gr[:, ::-1], gl[:, ::-1], cfg)
+    dr = nearest_valid_fill(out_r.disparity, out_r.valid)[:, ::-1]
+    return dl, dr
+
+
+def sgbm_seed_disparities(left_bgr, right_bgr, cfg: SGBMConfig):
+    """(left, right) filled SGBM disparity maps in pixels."""
+    return _seed_pair(_gray_from_bgr(left_bgr), _gray_from_bgr(right_bgr), cfg)
+
+
+def sgbm_mst_stereo(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    cfg: MSTConfig = MSTConfig(),
+    sgbm_cfg: SGBMConfig | None = None,
+    seed: int = 0,
+    fine_iterations: int | None = None,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 8,
+) -> MSTOutput:
+    """End-to-end SGBM+3DMST on a rectified pair + (H, W, D) cost volumes.
+
+    Runs SGBM on both views (the right view via the mirror trick), fills
+    invalid pixels with the reference's nearest-valid rule, fits per-node
+    plane seeds from the filled maps and refines them with a short
+    truncated-ladder 3DMST run. Same output contract as mst_stereo.
+    """
+    if sgbm_cfg is None:
+        # SGBM's disparity range must cover the MST label range; OpenCV's
+        # surface requires num_disp % 16 == 0
+        sgbm_cfg = _default_sgbm_cfg(cfg)
+    dl, dr = sgbm_seed_disparities(left_bgr, right_bgr, sgbm_cfg)
+    span = float(cfg.max_disp - 1)
+    dl = jnp.clip(dl, 0.0, span)
+    dr = jnp.clip(dr, 0.0, span)
+    return mst_stereo_seeded(
+        left_bgr, right_bgr, left_vol, right_vol, dl, dr, cfg,
+        seed=seed, fine_iterations=fine_iterations,
+        refine_start=refine_start, max_neighbors=max_neighbors,
+    )
+
+
+def _default_sgbm_cfg(cfg: MSTConfig) -> SGBMConfig:
+    nd = -(-cfg.max_disp // 16) * 16
+    return SGBMConfig(min_disp=0, num_disp=nd, block_size=5)
+
+
+def sgbm_mst_stereo_fused(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    cfg: MSTConfig = MSTConfig(),
+    sgbm_cfg: SGBMConfig | None = None,
+    seed: int = 0,
+    fine_iterations: int = 4,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 8,
+) -> MSTOutput:
+    """The ENTIRE north-star composition as ONE jitted XLA program:
+    SGBM on both views (mirror trick), nearest-valid fill, plane-fit
+    seeding, median prefilter + edge weights + on-device forest
+    construction (ops/device_forest.py), every truncated-ladder label
+    iteration, and the disparity maps of both views — zero host
+    round-trips anywhere in the frame. The reference's equivalent is two
+    separate executables with a per-frame CPU graph build in between
+    (src/StereoMatching.cpp:148-193, src/Stereo3DMST.cpp:841-889).
+
+    Same RNG stream as sgbm_mst_stereo with forest_backend="device"
+    (parity: tests/test_mst_seeded.py)."""
+    from .mst import _fused_capacities
+
+    h, w = int(np.asarray(left_bgr).shape[0]), int(np.asarray(left_bgr).shape[1])
+    if sgbm_cfg is None:
+        sgbm_cfg = _default_sgbm_cfg(cfg)
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
+    key = jax.random.PRNGKey(seed)
+    disp_l, disp_r = _sgbm_mst_frame_fused(
+        jnp.asarray(np.asarray(left_bgr, np.float32)),
+        jnp.asarray(np.asarray(right_bgr, np.float32)),
+        jnp.asarray(left_vol),
+        jnp.asarray(right_vol),
+        key, cfg, sgbm_cfg, fine_iterations, refine_start,
+        max_neighbors, h, w, tmax, adj_cap,
+    )
+    from .mst import _apply_smoothness
+    from ..ops.postprocess import lr_consistency
+
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
+    disp_l_checked, valid = lr_consistency(
+        disp_l, disp_r, float(cfg.max_disp), fill=False
+    )
+    return MSTOutput(disp_l_checked, disp_r, valid)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "sgbm_cfg", "fine_iterations", "refine_start",
+        "max_neighbors", "h", "w", "tmax", "adj_cap",
+    ),
+)
+def _sgbm_mst_frame_fused(
+    left_bgr, right_bgr, left_vol, right_vol, key, cfg: MSTConfig,
+    sgbm_cfg: SGBMConfig, fine_iterations: int, refine_start,
+    max_neighbors: int, h: int, w: int, tmax: int, adj_cap: int,
+):
+    from ..ops.device_forest import build_forest_device, device_forest_arrays
+    from ..ops.filters import median3x3
+    from ..ops.mst import (
+        labels_to_disparity,
+        mst_pms_optimize,
+        plane_labels_from_disparity,
+    )
+    from .mst import _seed_min_cost
+
+    gl = _gray_from_bgr(left_bgr)
+    gr = _gray_from_bgr(right_bgr)
+    seed_l, seed_r = _seed_pair(gl, gr, sgbm_cfg)
+    span = float(cfg.max_disp - 1)
+
+    def view(bgr, vol, seed_disp, k):
+        if cfg.volume_dtype != "float32":
+            vol = vol.astype(cfg.volume_dtype)
+        img = median3x3(bgr) if cfg.median_prefilter else bgr
+        im = img if img.ndim == 3 else img[..., None]
+        wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
+        wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
+        raw = build_forest_device(
+            wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
+            delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
+        )
+        fa = device_forest_arrays(raw, h, w, tmax=tmax, check=False)
+        a0, b0, c0 = plane_labels_from_disparity(
+            jnp.clip(seed_disp, 0.0, span), fa
+        )
+        mc0 = _seed_min_cost(vol, a0, b0, c0, fa, cfg)
+        a, b, c, _ = mst_pms_optimize(
+            k, vol, fa, cfg, max_neighbors=max_neighbors,
+            iterations=fine_iterations, init_state=(a0, b0, c0, mc0),
+            refine_start=refine_start,
+        )
+        return labels_to_disparity(a, b, c, fa, cfg.max_disp) * span
+
+    kl, kr = jax.random.split(key)
+    disp_l = view(left_bgr, left_vol, seed_l, kl)
+    disp_r = view(right_bgr, right_vol, seed_r, kr)
+    return disp_l, disp_r

@@ -45,6 +45,7 @@ __all__ = [
     "aggregation_norm_inv",
     "label_cost",
     "labels_to_disparity",
+    "plane_labels_from_disparity",
     "mst_pms_optimize",
     "refine_deltas",
     "make_candidate_fn",
@@ -448,6 +449,38 @@ def label_cost(
     return jnp.where(in_range, (1.0 - frac) * c_lo + frac * c_hi, 0.5)
 
 
+def plane_labels_from_disparity(
+    disp_img: jax.Array,
+    f: ForestArrays,
+    smooth_radius: int = 2,
+):
+    """Per-node plane labels (a, b, c) seeded from a per-pixel disparity
+    image in PIXELS (e.g. SGBM's output with invalids filled).
+
+    The image is box-smoothed (staircase/quantization noise in a WTA map
+    would otherwise leak into the gradients), (a, b) are its central-
+    difference gradients and c = d - a x - b y, so each node's plane
+    passes through the smoothed disparity at its own pixel with the
+    locally-fitted slant. Beyond the reference (which always starts from
+    random planes, src/Stereo3DMST.cpp:396-430) — the seed turns the
+    optimizer's long random-search phase into a short refinement phase
+    (models/mst.py::mst_stereo_seeded)."""
+    from .filters import box_filter
+
+    d = jnp.asarray(disp_img, jnp.float32)
+    if smooth_radius > 0:
+        d = box_filter(d, smooth_radius, mode="reflect")
+    b_img, a_img = jnp.gradient(d)  # d/dy, d/dx (one-sided at edges)
+    pix = f.pixel_of_node
+    x = (pix % f.width).astype(jnp.float32)
+    y = (pix // f.width).astype(jnp.float32)
+    df = d.reshape(-1)[pix]
+    a = a_img.reshape(-1)[pix]
+    b = b_img.reshape(-1)[pix]
+    c = df - a * x - b * y
+    return a, b, c
+
+
 def labels_to_disparity(
     a: jax.Array, b: jax.Array, c: jax.Array, f: ForestArrays, max_disp: int
 ) -> jax.Array:
@@ -489,12 +522,20 @@ def init_labels(key, f: ForestArrays, max_disp: int):
     return _sample_plane(key, px, py, float(max_disp))
 
 
-def refine_deltas(max_disp: int):
+def refine_deltas(max_disp: int, start: float | None = None):
     """Annealed refinement schedule: max_d = Dmax/2, /2, ... > 0.1 with the
     normal delta halving alongside (ref: src/Stereo3DMST.cpp:584-625).
-    Returns (deltas_d, deltas_n) float32 arrays of length n_refine."""
+    Returns (deltas_d, deltas_n) float32 arrays of length n_refine.
+
+    start: begin the ladder at this disparity delta instead of Dmax/2 —
+    the (d, n) pairs stay on the reference's schedule, just entered
+    further down. A run seeded from an already-good disparity map
+    (plane_labels_from_disparity) has no use for Dmax/2 perturbations;
+    truncating the ladder cuts the per-iteration candidate count (and so
+    the dominant tree_filter bytes) proportionally."""
     deltas = []
-    md, mn = 0.5 * max_disp, 1.0
+    md = 0.5 * max_disp if start is None else float(start)
+    mn = min(1.0, md / (0.5 * max_disp))
     while md > 0.1:
         deltas.append((md, mn))
         md, mn = md * 0.5, mn * 0.5
@@ -605,7 +646,7 @@ def make_candidate_fn(
     jax.jit,
     static_argnames=(
         "cfg", "max_neighbors", "iterations", "candidate_chunk",
-        "scan_interpret",
+        "scan_interpret", "refine_start",
     ),
 )
 def mst_pms_optimize(
@@ -618,6 +659,7 @@ def mst_pms_optimize(
     init_state=None,
     candidate_chunk: int | None = None,
     scan_interpret: bool = False,
+    refine_start: float | None = None,
 ):
     """The MST_PMS loop (ref: src/Stereo3DMST.cpp:546-629, 100 iterations at
     :858-889) for ALL trees in parallel.
@@ -640,6 +682,8 @@ def mst_pms_optimize(
     the iteration-start label map (the reference reads neighbor labels
     mid-update, racily, :556-574), and each tree samples at most
     `max_neighbors` of its neighbor trees per iteration instead of all.
+    refine_start truncates the annealed ladder (see refine_deltas) for
+    runs resumed/seeded from an already-good state.
     """
     n = f.pixel_of_node.shape[0]
     iters = cfg.iterations if iterations is None else iterations
@@ -652,7 +696,7 @@ def mst_pms_optimize(
     # iterations x candidates (see label_cost docstring)
     cost_vol = cost_vol.reshape(-1, cost_vol.shape[-1])[f.pixel_of_node]
 
-    deltas_d, deltas_n = refine_deltas(max_disp)
+    deltas_d, deltas_n = refine_deltas(max_disp, refine_start)
     n_refine = int(deltas_d.shape[0])
     k_total = max_neighbors + n_refine
 

@@ -26,6 +26,7 @@ __all__ = [
     "bm_pipeline",
     "sgbm_pipeline",
     "mst_pipeline",
+    "sgbm_mst_pipeline",
     "patchmatch_pipeline",
     "to_bgr255",
 ]
@@ -117,6 +118,41 @@ def mst_pipeline(
         rgb_r = jnp.asarray(np.asarray(right, np.float32))
         left_vol, right_vol = builtin_cost_volumes(rgb_l, rgb_r, cfg.max_disp)
     out = mst_stereo(np.asarray(bgr_l), np.asarray(bgr_r), left_vol, right_vol, cfg, seed)
+    return np.asarray(out.left_disp), np.asarray(out.right_disp)
+
+
+def sgbm_mst_pipeline(
+    left,
+    right,
+    left_vol=None,
+    right_vol=None,
+    cfg=None,
+    seed: int = 0,
+    fine_iterations: int | None = None,
+):
+    """SGBM-seeded 3DMST — the BASELINE north-star composition
+    (models/sgbm_mst.py): SGBM both views, plane-fit the maps into MST
+    labels, refine with a short truncated-ladder run. Returns
+    (left_disp, right_disp) numpy."""
+    import jax.numpy as jnp
+
+    from .config import MSTConfig
+    from .models.sgbm_mst import sgbm_mst_stereo
+
+    cfg = cfg or MSTConfig()
+    check_stereo_pair(left, right)
+    bgr_l = to_bgr255(left)
+    bgr_r = to_bgr255(right)
+    if left_vol is None or right_vol is None:
+        from .apps.stereo_yin import builtin_cost_volumes
+
+        rgb_l = jnp.asarray(np.asarray(left, np.float32))
+        rgb_r = jnp.asarray(np.asarray(right, np.float32))
+        left_vol, right_vol = builtin_cost_volumes(rgb_l, rgb_r, cfg.max_disp)
+    out = sgbm_mst_stereo(
+        np.asarray(bgr_l), np.asarray(bgr_r), left_vol, right_vol, cfg,
+        seed=seed, fine_iterations=fine_iterations,
+    )
     return np.asarray(out.left_disp), np.asarray(out.right_disp)
 
 
