@@ -350,24 +350,41 @@ out = {"compile_s": round(t1 - t0, 1),
        "analytic_gather_gb_per_iteration": round(gather_gb, 2),
        "v5e_s_per_iteration_optimistic":
            round((stream_gb + gather_gb) / 819.0, 4)}
-# headline size: round 2's tunnel-worker crash above 384x288 is GONE
-# since the coalesced 5-channel tap gather — record the full-size
-# per-iteration time (2 iterations keep the probe bounded)
+# bf16 feature maps halve the streamed+gathered bytes (GT-battery-gated,
+# tests/test_gt_battery.py::test_patchmatch_bf16_features_absolute_gt)
 try:
-    h2, w2 = 960, 1280
-    tex2 = (rng.random((h2, w2 + 64, 3)) * 255).astype(np.float32)
-    l2 = jax.block_until_ready(jnp.asarray(tex2[:, :w2]))
-    r2 = jax.block_until_ready(jnp.asarray(tex2[:, 40:40+w2]))
-    cfg2 = PatchMatchConfig(max_disp=60.0, iterations=2, tap_stride=5)
-    t0 = time.time()
-    l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), l2, r2, cfg2)
-    float(jnp.sum(l.d)); t1 = time.time()
-    l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), l2, r2, cfg2)
-    float(jnp.sum(l.d)); t2 = time.time()
-    out["ms_per_iteration_1280x960"] = round((t2 - t1) * 1e3 / 2, 1)
-    out["full_size_compile_s"] = round(t1 - t0, 1)
+    cfgb = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5,
+                            feature_dtype="bfloat16")
+    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfgb)
+    float(jnp.sum(l16.d)); tb1 = time.time()
+    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfgb)
+    float(jnp.sum(l16.d)); tb2 = time.time()
+    out["ms_per_iteration_384x288_bf16"] = round(
+        (tb2 - tb1) * 1e3 / cfgb.iterations, 1)
+    out["v5e_s_per_iteration_bf16_optimistic"] = round(
+        (stream_gb + gather_gb) / 2 / 819.0, 4)
 except Exception as e:
-    out["full_size_error"] = str(e)[:120]
+    out["bf16_error"] = str(e)[:120]
+# headline size: the coalesced 5-channel tap gather removed the round-2
+# program-shape crash (28.2 s/iter at 1280x960 measured then), but the
+# tunnel worker still dies TRANSIENTLY on the big program some days —
+# walk down from full size so a largest-working number always lands
+for h2, w2 in ((960, 1280), (480, 640)):
+    try:
+        tex2 = (rng.random((h2, w2 + 64, 3)) * 255).astype(np.float32)
+        l2 = jax.block_until_ready(jnp.asarray(tex2[:, :w2]))
+        r2 = jax.block_until_ready(jnp.asarray(tex2[:, 40:40+w2]))
+        cfg2 = PatchMatchConfig(max_disp=60.0, iterations=2, tap_stride=5)
+        t0 = time.time()
+        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), l2, r2, cfg2)
+        float(jnp.sum(l.d)); t1 = time.time()
+        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), l2, r2, cfg2)
+        float(jnp.sum(l.d)); t2 = time.time()
+        out[f"ms_per_iteration_{w2}x{h2}"] = round((t2 - t1) * 1e3 / 2, 1)
+        out["large_size_compile_s"] = round(t1 - t0, 1)
+        break
+    except Exception as e:
+        out[f"size_{w2}x{h2}_error"] = str(e)[:120]
 print(json.dumps(out))
 """
     _subprocess_probe("patchmatch", pm_code, 1500, extra)
@@ -534,6 +551,48 @@ if out.get("ms_per_iteration"):
 print(json.dumps(out))
 """
     _subprocess_probe("mst_1280x960x128", mst_code, 2400, extra)
+
+    # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
+    # seeded-ladder configuration, ONE iteration, candidate-chunked —
+    # proves the volume-scale program compiles and runs on-chip (bf16
+    # volume 1.6 GB resident + node-order copy) and records the measured
+    # native-scale iteration time. ----
+    mst_native_code = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.native import build_forest, color_edge_weights
+from stereomatch_tpu.ops.mst import forest_arrays, mst_pms_optimize
+from stereomatch_tpu.config import MSTConfig
+h, w, d = 1536, 2048, 256
+rng = np.random.default_rng(0)
+img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+for _ in range(3):
+    img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+wr, wd = color_edge_weights(img)
+t0 = time.time()
+f = build_forest(wr, wd, 5000.0, 200, 1/12.0, 4.0)
+fa = forest_arrays(f)
+tb = time.time() - t0
+vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32),
+                  dtype=jnp.bfloat16)  # host-cast: upload 1.6 GB not 3.2
+jax.block_until_ready(vol)
+out = {"treebuild_s": round(tb, 1)}
+cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16")
+t0 = time.time()
+a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfg,
+                               max_neighbors=4, iterations=1,
+                               candidate_chunk=2, refine_start=2.0)
+float(jnp.sum(mc))
+t1 = time.time()
+a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfg,
+                               max_neighbors=4, iterations=1,
+                               candidate_chunk=2, refine_start=2.0)
+float(jnp.sum(mc))
+out["compile_s"] = round(t1 - t0, 1)
+out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
+print(json.dumps(out))
+"""
+    _subprocess_probe("mst_native_2048x1536x256", mst_native_code, 2000, extra)
 
     # ---- mst_e2e + sgbm_plus_mst: the north-star composition (VERDICT
     # r2 #1c). Iteration budget from the measured quality-vs-work curve

@@ -128,6 +128,7 @@ def run_mst(
     verbose: bool = True,
     resume: bool = False,
     forest_backend: str = "host",
+    sgbm_seed: bool = False,
 ):
     """Streaming 3DMST with the host forest build OFF the critical path:
     frame N+1's forests are built by a worker thread (the ctypes C++
@@ -136,7 +137,12 @@ def run_mst(
     reference builds forests inline per frame, src/Stereo3DMST.cpp:841-847,
     serializing CPU and GPU). Returns (disparities, forest_wait_seconds):
     the per-frame time spent blocked on forest futures, ~0 from frame 1 on
-    when device compute dominates."""
+    when device compute dominates.
+
+    sgbm_seed=True is the streaming north-star composition
+    (models/sgbm_mst.py): SGBM both views seeds the plane labels and
+    `iterations` becomes the short truncated-ladder refinement budget
+    (pass e.g. 4)."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -213,10 +219,41 @@ def run_mst(
                 )
                 key = jax.random.PRNGKey(int(fid))
                 kl, kr = jax.random.split(key)
-                a, b, c, _ = mst_pms_optimize(kl, lv, fa_l, cfg)
-                dl = labels_to_disparity(a, b, c, fa_l, max_disp) * (max_disp - 1.0)
-                a, b, c, _ = mst_pms_optimize(kr, rv, fa_r, cfg)
-                dr = labels_to_disparity(a, b, c, fa_r, max_disp) * (max_disp - 1.0)
+                if sgbm_seed:
+                    from ..models.mst import _seed_min_cost
+                    from ..models.sgbm_mst import (
+                        _default_sgbm_cfg,
+                        sgbm_seed_disparities,
+                    )
+                    from ..ops.mst import plane_labels_from_disparity
+
+                    sdl, sdr = sgbm_seed_disparities(
+                        bl, br, _default_sgbm_cfg(cfg)
+                    )
+                    span = float(max_disp - 1)
+                    inits = []
+                    for sd, fa, vol in ((sdl, fa_l, lv), (sdr, fa_r, rv)):
+                        a0, b0, c0 = plane_labels_from_disparity(
+                            jnp.clip(sd, 0.0, span), fa
+                        )
+                        inits.append(
+                            (a0, b0, c0, _seed_min_cost(vol, a0, b0, c0, fa, cfg))
+                        )
+                    a, b, c, _ = mst_pms_optimize(
+                        kl, lv, fa_l, cfg, init_state=inits[0],
+                        refine_start=2.0,
+                    )
+                    dl = labels_to_disparity(a, b, c, fa_l, max_disp) * span
+                    a, b, c, _ = mst_pms_optimize(
+                        kr, rv, fa_r, cfg, init_state=inits[1],
+                        refine_start=2.0,
+                    )
+                    dr = labels_to_disparity(a, b, c, fa_r, max_disp) * span
+                else:
+                    a, b, c, _ = mst_pms_optimize(kl, lv, fa_l, cfg)
+                    dl = labels_to_disparity(a, b, c, fa_l, max_disp) * (max_disp - 1.0)
+                    a, b, c, _ = mst_pms_optimize(kr, rv, fa_r, cfg)
+                    dr = labels_to_disparity(a, b, c, fa_r, max_disp) * (max_disp - 1.0)
                 dl, _ = lr_consistency(dl, dr, float(max_disp), fill=False)
                 dl = np.asarray(dl)
             disps.append(dl)
@@ -239,9 +276,11 @@ def main():
     ap.add_argument("--out-dir", default="./out")
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--max-disp", type=int, default=63)
-    ap.add_argument("--engine", choices=("costvolume", "mst"), default="costvolume")
-    ap.add_argument("--iterations", type=int, default=20,
-                    help="mst engine: label-optimization iterations")
+    ap.add_argument("--engine", choices=("costvolume", "mst", "sgbm_mst"),
+                    default="costvolume")
+    ap.add_argument("--iterations", type=int, default=None,
+                    help="mst engines: label-optimization iterations "
+                    "(default 20 flat / 4 sgbm-seeded)")
     ap.add_argument("--resume", action="store_true",
                     help="skip frames whose output already exists")
     ap.add_argument("--forest-backend", choices=("host", "device"),
@@ -249,10 +288,12 @@ def main():
                     help="mst engine: host C++ builder (lookahead-hidden) "
                     "or the fully on-device jitted builder")
     a = ap.parse_args()
-    if a.engine == "mst":
+    if a.engine in ("mst", "sgbm_mst"):
+        seeded = a.engine == "sgbm_mst"
+        iters = a.iterations or (4 if seeded else 20)
         run_mst(a.data_dir, a.calib, a.out_dir, scale=a.scale,
-                max_disp=a.max_disp, iterations=a.iterations, resume=a.resume,
-                forest_backend=a.forest_backend)
+                max_disp=a.max_disp, iterations=iters, resume=a.resume,
+                forest_backend=a.forest_backend, sgbm_seed=seeded)
     else:
         run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
             resume=a.resume)

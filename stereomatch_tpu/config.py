@@ -183,6 +183,13 @@ class PatchMatchConfig:
     # .cu:981-983); "adgrad": the CPU pm dissimilarity
     # (1-alpha)*min(L1color, tau_c) + alpha*min(L1grad, tau_g) (pm.cpp:97-104)
     metric: str = "grad_sign"
+    # Storage dtype of the per-tap streamed/gathered feature maps (padded
+    # color/gray/gradient images). "bfloat16" halves plane_cost's HBM
+    # traffic — the dominant PatchMatch bytes (bench.py analytic model).
+    # Features are 0..255 so bf16 quantizes to ~1 gray level; every L1 /
+    # weight / accumulation happens in f32 after the loads. Quality gated
+    # on the GT battery (tests/test_gt_battery.py::test_patchmatch_bf16).
+    feature_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -118,13 +118,20 @@ def plane_cost(
     g_base_c = base_gray
     g_match_c = _sample_x(match_gray, jnp.clip(match_center_x, 0, w - 1), None)
 
+    # feature storage dtype: the padded maps below are re-read (streamed
+    # slices + x-interp gathers) once per tap x candidate — the dominant
+    # PatchMatch bytes. bf16 halves them; all arithmetic returns to f32
+    # right after each load (PatchMatchConfig.feature_dtype).
+    fdt = jnp.dtype(cfg.feature_dtype)
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+
     pad_spec = ((r, r), (r, r))
-    gray_p = jnp.pad(base_gray, pad_spec, mode="edge")
-    bgr_p = jnp.pad(base_bgr, pad_spec + ((0, 0),), mode="edge")
-    match_p = jnp.pad(match_gray, pad_spec, mode="edge")  # pad rows for y+h
+    gray_p = jnp.pad(base_gray, pad_spec, mode="edge").astype(fdt)
+    bgr_p = jnp.pad(base_bgr, pad_spec + ((0, 0),), mode="edge").astype(fdt)
+    match_p = jnp.pad(match_gray, pad_spec, mode="edge").astype(fdt)  # pad rows for y+h
     adgrad = cfg.metric == "adgrad"
     if adgrad:
-        bgrad_p = jnp.pad(base_grad, pad_spec + ((0, 0),), mode="edge")
+        bgrad_p = jnp.pad(base_grad, pad_spec + ((0, 0),), mode="edge").astype(fdt)
         # match color + gradient coalesced into ONE (H, W, 5) feature map:
         # each tap then needs a single 5-channel x-interp gather pair
         # instead of 5 separate per-channel gathers (gathers are the
@@ -133,7 +140,8 @@ def plane_cost(
             jnp.concatenate([match_bgr, match_grad], axis=-1),
             pad_spec + ((0, 0),),
             mode="edge",
-        )
+        ).astype(fdt)
+    base_bgr_f = base_bgr.astype(fdt)  # center colors for the tap weights
 
     offs = jnp.asarray(taps, jnp.int32)
     oob_cost = cfg.plane_penalty if adgrad else 10.0
@@ -141,7 +149,7 @@ def plane_cost(
     def tap_step(carry, off):
         cost_acc, w_acc = carry
         dy, dx = off[0], off[1]
-        base_tap_g = jax.lax.dynamic_slice(gray_p, (dy + r, dx + r), (h, w))
+        base_tap_g = f32(jax.lax.dynamic_slice(gray_p, (dy + r, dx + r), (h, w)))
         base_tap_c = jax.lax.dynamic_slice(bgr_p, (dy + r, dx + r, 0), (h, w, 3))
         d_tap = af * (xs + dx) + bf * (ys + dy) + cf
         ok = (
@@ -151,8 +159,10 @@ def plane_cost(
             & (xs + sign * d_tap >= 0)
             & (xs + sign * d_tap < w)
         )
+        # |a - b| computed in the storage dtype (exact for the f32 default;
+        # ~1 gray level quantization at bf16), everything after in f32
         weight = jnp.exp(
-            -jnp.sum(jnp.abs(base_bgr - base_tap_c), axis=-1) / cfg.gamma
+            -f32(jnp.sum(jnp.abs(base_bgr_f - base_tap_c), axis=-1)) / cfg.gamma
         )
         mx = jnp.clip(xs + dx + sign * d_tap, 0, w - 1)
         if adgrad:
@@ -163,17 +173,17 @@ def plane_cost(
             x0 = jnp.floor(mx)
             frac = (mx - x0)[..., None]
             x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)[..., None]
-            v0 = jnp.take_along_axis(feat, x0i, axis=1)
-            v1 = jnp.take_along_axis(feat, jnp.clip(x0i + 1, 0, w - 1), axis=1)
-            m_feat = v0 * (1.0 - frac) + v1 * frac  # (H, W, 5)
-            c_l1 = jnp.sum(jnp.abs(base_tap_c - m_feat[..., :3]), axis=-1)
-            g_l1 = jnp.sum(jnp.abs(base_tap_grad - m_feat[..., 3:]), axis=-1)
+            v0 = f32(jnp.take_along_axis(feat, x0i, axis=1))
+            v1 = f32(jnp.take_along_axis(feat, jnp.clip(x0i + 1, 0, w - 1), axis=1))
+            m_feat = v0 * (1.0 - frac) + v1 * frac  # (H, W, 5) f32
+            c_l1 = jnp.sum(jnp.abs(f32(base_tap_c) - m_feat[..., :3]), axis=-1)
+            g_l1 = jnp.sum(jnp.abs(f32(base_tap_grad) - m_feat[..., 3:]), axis=-1)
             penalty = (1.0 - cfg.alpha) * jnp.minimum(
                 c_l1, cfg.tau_c
             ) + cfg.alpha * jnp.minimum(g_l1, cfg.tau_g)
         else:
             # match gray at (y + dy, x + dx + sign*d_tap), linear in x
-            match_shift = jax.lax.dynamic_slice(match_p, (dy + r, r), (h, w))
+            match_shift = f32(jax.lax.dynamic_slice(match_p, (dy + r, r), (h, w)))
             match_tap = _sample_x(match_shift, mx, None)
             sign_disagree = (g_base_c - base_tap_g) * (g_match_c - match_tap) < 0.0
             penalty = jnp.where(sign_disagree, 0.1, 0.0)

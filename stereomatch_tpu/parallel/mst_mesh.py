@@ -65,10 +65,13 @@ def _body(
     iterations: int,
     n_dev: int,
     init_state,
+    refine_start=None,
 ):
     n = f.pixel_of_node.shape[0]
     max_disp = cfg.max_disp
-    deltas_d, deltas_n = refine_deltas(max_disp)
+    if cfg.volume_dtype != "float32":
+        cost_vol = cost_vol.astype(cfg.volume_dtype)
+    deltas_d, deltas_n = refine_deltas(max_disp, refine_start)
     n_refine = int(deltas_d.shape[0])
     k_total = max_neighbors + n_refine
     kloc = -(-k_total // n_dev)  # ceil: candidate slots per device
@@ -131,7 +134,8 @@ def _body(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "cfg", "max_neighbors", "iterations"),
+    static_argnames=("mesh", "cfg", "max_neighbors", "iterations",
+                     "refine_start"),
 )
 def mst_pms_optimize_mesh(
     key: jax.Array,
@@ -142,11 +146,14 @@ def mst_pms_optimize_mesh(
     max_neighbors: int = 8,
     iterations: int | None = None,
     init_state=None,
+    refine_start: float | None = None,
 ):
     """Multi-chip MST_PMS: same signature and RESULT as
     ops.mst.mst_pms_optimize, with each iteration's candidate evaluations
     spread over the mesh's "cand" axis. Inputs are replicated; the label
-    state stays replicated (the per-iteration combine is collective)."""
+    state stays replicated (the per-iteration combine is collective).
+    refine_start truncates the annealed ladder for SGBM-seeded runs
+    (models/sgbm_mst.py) exactly as on the single chip."""
     iters = cfg.iterations if iterations is None else iterations
     n_dev = mesh.shape["cand"]
     out_specs = (P(), P(), P(), P())
@@ -156,7 +163,8 @@ def mst_pms_optimize_mesh(
         # over None instead of passing a sentinel arg
         fn = shard_map(
             lambda k, v, fa: _body(
-                k, v, fa, cfg, max_neighbors, iters, n_dev, None
+                k, v, fa, cfg, max_neighbors, iters, n_dev, None,
+                refine_start,
             ),
             mesh=mesh,
             in_specs=(P(), P(), P()),
@@ -165,7 +173,7 @@ def mst_pms_optimize_mesh(
         return fn(key, cost_vol, f)
     fn = shard_map(
         lambda k, v, fa, st: _body(
-            k, v, fa, cfg, max_neighbors, iters, n_dev, st
+            k, v, fa, cfg, max_neighbors, iters, n_dev, st, refine_start
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
@@ -231,12 +239,13 @@ def _body_sharded(
     n_cand: int,
     n_node: int,
     init_state,
+    refine_start=None,
 ):
     n = f.pixel_of_node.shape[0]
     assert n % n_node == 0, (n, n_node)
     n_loc = n // n_node
     max_disp = cfg.max_disp
-    deltas_d, deltas_n = refine_deltas(max_disp)
+    deltas_d, deltas_n = refine_deltas(max_disp, refine_start)
     n_refine = int(deltas_d.shape[0])
     k_total = max_neighbors + n_refine
     kloc = -(-k_total // n_cand)
@@ -327,7 +336,8 @@ def _body_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "cfg", "max_neighbors", "iterations"),
+    static_argnames=("mesh", "cfg", "max_neighbors", "iterations",
+                     "refine_start"),
 )
 def mst_pms_optimize_mesh_sharded(
     key: jax.Array,
@@ -338,6 +348,7 @@ def mst_pms_optimize_mesh_sharded(
     max_neighbors: int = 8,
     iterations: int | None = None,
     init_state=None,
+    refine_start: float | None = None,
 ):
     """Memory-sharded multi-chip MST_PMS (VERDICT r2 weak #7: mst_mesh
     scaled compute, not memory). The cost volume — the dominant tensor
@@ -358,7 +369,8 @@ def mst_pms_optimize_mesh_sharded(
     if init_state is None:
         fn = shard_map(
             lambda k, v, fa: _body_sharded(
-                k, v, fa, cfg, max_neighbors, iters, n_cand, n_node, None
+                k, v, fa, cfg, max_neighbors, iters, n_cand, n_node, None,
+                refine_start,
             ),
             mesh=mesh,
             in_specs=(P(), vol_spec, P()),
@@ -367,7 +379,8 @@ def mst_pms_optimize_mesh_sharded(
         return fn(key, vol_node, f)
     fn = shard_map(
         lambda k, v, fa, st: _body_sharded(
-            k, v, fa, cfg, max_neighbors, iters, n_cand, n_node, st
+            k, v, fa, cfg, max_neighbors, iters, n_cand, n_node, st,
+            refine_start,
         ),
         mesh=mesh,
         in_specs=(P(), vol_spec, P(), P()),

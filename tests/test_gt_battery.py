@@ -140,6 +140,29 @@ def test_patchmatch_absolute_gt(half_scene):
     assert mm["bad2"] < 0.02, mm
 
 
+def test_patchmatch_bf16_features_absolute_gt(half_scene):
+    """feature_dtype="bfloat16" (halves plane_cost's streamed+gathered
+    bytes, the dominant PatchMatch traffic) quantizes 0..255 features to
+    ~1 gray level; the absolute gate shows the plane estimates stay
+    subpixel on exact GT."""
+    from stereomatch_tpu.config import PatchMatchConfig
+    from stereomatch_tpu.ops.patchmatch import patchmatch_stereo
+
+    sc, m = half_scene
+    pl, _, _, _ = patchmatch_stereo(
+        jax.random.PRNGKey(0),
+        sc.left,
+        sc.right,
+        PatchMatchConfig(
+            max_disp=32.0, iterations=8, tap_stride=5, metric="adgrad",
+            feature_dtype="bfloat16",
+        ),
+    )
+    mm = disparity_metrics(np.asarray(pl.d), sc.disp_left, m)
+    assert mm["epe"] < 0.3, mm
+    assert mm["bad2"] < 0.04, mm
+
+
 def test_mst_absolute_gt(half_scene):
     """3DMST over the framework's own adgrad volumes (scaled into the
     mc-cnn [0, 0.5] cost convention): absolute subpixel accuracy on the

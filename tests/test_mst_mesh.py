@@ -127,3 +127,43 @@ def test_sharded_volume_mesh_matches_single_chip(small_problem, n_cand, n_node):
     np.testing.assert_allclose(
         np.asarray(a2)[same], np.asarray(a1)[same], rtol=1e-4, atol=1e-5
     )
+
+
+def test_mesh_seeded_refine_start_matches_single_chip(small_problem):
+    """The SGBM-seeded configuration (init_state + truncated ladder,
+    models/sgbm_mst.py) reproduces on the candidate mesh: same global-
+    index RNG keying, so the refine_start ladder shortens K identically
+    on both paths."""
+    from stereomatch_tpu.ops.mst import plane_labels_from_disparity
+    from stereomatch_tpu.parallel.mst_mesh import (
+        make_cand_mesh,
+        mst_pms_optimize_mesh,
+    )
+
+    fa, vol = small_problem
+    cpus = _cpu_devices(2)
+    cfg = MSTConfig(max_disp=10, iterations=4)
+    key = jax.random.PRNGKey(7)
+    # a plausible per-pixel seed: the volume's own WTA argmin image
+    d_img = jnp.argmin(vol, axis=-1).astype(jnp.float32)
+    a0, b0, c0 = plane_labels_from_disparity(d_img, fa)
+    from stereomatch_tpu.ops.mst import label_cost, tree_filter
+
+    mc0 = tree_filter(label_cost(vol, a0, b0, c0, fa, cfg.max_disp), fa,
+                      cfg.carry_iters)
+    init = (a0, b0, c0, mc0)
+
+    a1, b1, c1, m1 = mst_pms_optimize(
+        jax.device_put(key, cpus[0]), jax.device_put(vol, cpus[0]),
+        jax.tree.map(lambda x: jax.device_put(x, cpus[0]), fa),
+        cfg, max_neighbors=3, iterations=4, init_state=init,
+        refine_start=2.0,
+    )
+    mesh = make_cand_mesh(2, devices=cpus[:2])
+    a2, b2, c2, m2 = mst_pms_optimize_mesh(
+        key, vol, fa, mesh, cfg, max_neighbors=3, iterations=4,
+        init_state=init, refine_start=2.0,
+    )
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-6)
+    flipped = np.abs(np.asarray(c2) - np.asarray(c1)) > 1e-3
+    assert flipped.mean() < 0.02, flipped.mean()
