@@ -645,37 +645,43 @@ print(json.dumps(out))
                 file=sys.stderr,
             )
 
-            # ---- SEEDED composition (models/sgbm_mst.py): SGBM runs on
-            # BOTH views (mirror trick) and its maps seed the MST planes,
-            # so label optimization is F=4 truncated-ladder iterations
-            # (K_seeded candidates instead of K_full — bytes scale with
-            # K) plus one aggregation pass for the seed's true cost.
-            # Quality: better than flat-30 on the GT battery at this very
-            # budget (tests/test_mst_seeded.py, PARITY.md). ----
+            # ---- SEEDED composition (models/sgbm_mst.py): ONE SGBM pass
+            # seeds BOTH views — the right map is the disp2 min-cost
+            # projection the disp12 check builds anyway
+            # (right_seed="disp2", GT-gated) — then label optimization is
+            # F=4 truncated-ladder iterations (K_seeded candidates
+            # instead of K_full — bytes scale with K) plus one
+            # aggregation pass for the seed's true cost. Quality: better
+            # than flat-30 on the GT battery at this very budget
+            # (tests/test_mst_seeded.py, PARITY.md). ----
             kf, ks = mst.get("k_full"), mst.get("k_seeded")
             if kf and ks:
                 f_fine = 4.0
                 equiv_seeded = f_fine * ks / kf + 1.0 / kf  # + seed pass
                 mst_s_opt_s = 2 * equiv_seeded * t_iter_opt
                 mst_s_der_s = 2 * equiv_seeded * t_iter_der
-                fps_opt_s = 1.0 / (2 * t_sgbm + mst_s_opt_s)
-                fps_der_s = 1.0 / (2 * t_sgbm + mst_s_der_s)
+                fps_opt_s = 1.0 / (t_sgbm + mst_s_opt_s)
+                fps_der_s = 1.0 / (t_sgbm + mst_s_der_s)
                 ms_it_seed = mst.get(
                     "ms_per_iteration_seeded",
                     mst["ms_per_iteration"] * ks / kf,
                 )
                 local_s_s = (
-                    2 * (f_fine + 1.0 / ks) * ms_it_seed / 1e3 + 2.0 / fps
+                    2 * (f_fine + 1.0 / ks) * ms_it_seed / 1e3 + 1.0 / fps
                 )
                 extra["sgbm_plus_mst_seeded"] = {
                     "fine_iterations_per_view": f_fine,
                     "equiv_full_ladder_iterations": round(equiv_seeded, 2),
                     "v5e_fps_optimistic": round(fps_opt_s, 1),
                     "v5e_fps_gather_derated": round(fps_der_s, 2),
+                    "v5e_fps_derated_mirror_right_seed": round(
+                        1.0 / (2 * t_sgbm + mst_s_der_s), 2
+                    ),
                     "local_tunnel_s_per_frame": round(local_s_s, 1),
-                    "note": "SGBM both views + plane-fit seed + F=4 "
-                    "truncated-ladder MST; GT-battery-gated "
-                    "(beats flat-30 on EPE/bad2, PARITY.md)",
+                    "note": "one SGBM (disp2 seeds the right view free) "
+                    "+ plane-fit seed + F=4 truncated-ladder MST; "
+                    "GT-battery-gated (beats flat-30 on EPE/bad2, "
+                    "PARITY.md)",
                 }
                 print(
                     f"sgbm_plus_mst_seeded: v5e fps {fps_der_s:.1f} "

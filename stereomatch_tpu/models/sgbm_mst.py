@@ -45,24 +45,43 @@ def _gray_from_bgr(bgr) -> jax.Array:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _seed_pair(gl: jax.Array, gr: jax.Array, cfg: SGBMConfig):
+@partial(jax.jit, static_argnames=("cfg", "right_seed"))
+def _seed_pair(gl: jax.Array, gr: jax.Array, cfg: SGBMConfig,
+               right_seed: str = "disp2"):
     """LEFT- and RIGHT-view SGBM disparities, invalids filled.
 
-    The right view reuses the left-view engine on the horizontally
-    mirrored swapped pair: right-image pixel x matches left-image pixel
-    x + d, which after mirroring both images is exactly the left-view
-    matching problem, so d_R(x, y) = d_mirror(W-1-x, y)."""
+    right_seed="disp2" (default): the right map is OpenCV's disp2 —
+    min-cost projection of the SAME aggregated volume, which the disp12
+    cross-check builds anyway (ops/sgbm.py) — so the second view's seed
+    is FREE. Integer-valued with occlusion holes; the nearest-valid fill
+    + plane_labels_from_disparity's box smoothing absorb both, and the
+    MST refinement repairs far worse seeds (PARITY.md degraded-seed
+    table).
+
+    right_seed="mirror": a second full SGBM on the horizontally mirrored
+    swapped pair (right-image pixel x matches left-image pixel x + d, so
+    after mirroring both images it IS the left-view problem and
+    d_R(x, y) = d_mirror(W-1-x, y)) — subpixel right map at ~2x the SGBM
+    cost."""
     out_l = sgbm_disparity(gl, gr, cfg)
     dl = nearest_valid_fill(out_l.disparity, out_l.valid)
-    out_r = sgbm_disparity(gr[:, ::-1], gl[:, ::-1], cfg)
-    dr = nearest_valid_fill(out_r.disparity, out_r.valid)[:, ::-1]
+    if right_seed == "disp2" and out_l.right_disparity is not None:
+        rd = out_l.right_disparity
+        dr = nearest_valid_fill(rd, rd > cfg.min_disp - 0.5)
+    elif right_seed in ("mirror", "disp2"):
+        out_r = sgbm_disparity(gr[:, ::-1], gl[:, ::-1], cfg)
+        dr = nearest_valid_fill(out_r.disparity, out_r.valid)[:, ::-1]
+    else:
+        raise ValueError(f"right_seed must be 'disp2' or 'mirror', got {right_seed!r}")
     return dl, dr
 
 
-def sgbm_seed_disparities(left_bgr, right_bgr, cfg: SGBMConfig):
+def sgbm_seed_disparities(left_bgr, right_bgr, cfg: SGBMConfig,
+                          right_seed: str = "disp2"):
     """(left, right) filled SGBM disparity maps in pixels."""
-    return _seed_pair(_gray_from_bgr(left_bgr), _gray_from_bgr(right_bgr), cfg)
+    return _seed_pair(
+        _gray_from_bgr(left_bgr), _gray_from_bgr(right_bgr), cfg, right_seed
+    )
 
 
 def sgbm_mst_stereo(
@@ -76,19 +95,22 @@ def sgbm_mst_stereo(
     fine_iterations: int | None = None,
     refine_start: float | None = 2.0,
     max_neighbors: int = 8,
+    right_seed: str = "disp2",
 ) -> MSTOutput:
     """End-to-end SGBM+3DMST on a rectified pair + (H, W, D) cost volumes.
 
-    Runs SGBM on both views (the right view via the mirror trick), fills
-    invalid pixels with the reference's nearest-valid rule, fits per-node
-    plane seeds from the filled maps and refines them with a short
-    truncated-ladder 3DMST run. Same output contract as mst_stereo.
+    Runs SGBM once; the right-view seed comes free from its disp2
+    projection (right_seed="disp2", default) or from a second mirrored
+    SGBM pass ("mirror"). Invalid pixels fill with the reference's
+    nearest-valid rule, the maps are plane-fit into per-node seeds, and a
+    short truncated-ladder 3DMST run refines them. Same output contract
+    as mst_stereo.
     """
     if sgbm_cfg is None:
         # SGBM's disparity range must cover the MST label range; OpenCV's
         # surface requires num_disp % 16 == 0
         sgbm_cfg = _default_sgbm_cfg(cfg)
-    dl, dr = sgbm_seed_disparities(left_bgr, right_bgr, sgbm_cfg)
+    dl, dr = sgbm_seed_disparities(left_bgr, right_bgr, sgbm_cfg, right_seed)
     span = float(cfg.max_disp - 1)
     dl = jnp.clip(dl, 0.0, span)
     dr = jnp.clip(dr, 0.0, span)
@@ -115,6 +137,7 @@ def sgbm_mst_stereo_fused(
     fine_iterations: int = 4,
     refine_start: float | None = 2.0,
     max_neighbors: int = 8,
+    right_seed: str = "disp2",
 ) -> MSTOutput:
     """The ENTIRE north-star composition as ONE jitted XLA program:
     SGBM on both views (mirror trick), nearest-valid fill, plane-fit
@@ -140,7 +163,7 @@ def sgbm_mst_stereo_fused(
         jnp.asarray(left_vol),
         jnp.asarray(right_vol),
         key, cfg, sgbm_cfg, fine_iterations, refine_start,
-        max_neighbors, h, w, tmax, adj_cap,
+        max_neighbors, h, w, tmax, adj_cap, right_seed,
     )
     from .mst import _apply_smoothness
     from ..ops.postprocess import lr_consistency
@@ -157,13 +180,14 @@ def sgbm_mst_stereo_fused(
     jax.jit,
     static_argnames=(
         "cfg", "sgbm_cfg", "fine_iterations", "refine_start",
-        "max_neighbors", "h", "w", "tmax", "adj_cap",
+        "max_neighbors", "h", "w", "tmax", "adj_cap", "right_seed",
     ),
 )
 def _sgbm_mst_frame_fused(
     left_bgr, right_bgr, left_vol, right_vol, key, cfg: MSTConfig,
     sgbm_cfg: SGBMConfig, fine_iterations: int, refine_start,
     max_neighbors: int, h: int, w: int, tmax: int, adj_cap: int,
+    right_seed: str = "disp2",
 ):
     from ..ops.device_forest import build_forest_device, device_forest_arrays
     from ..ops.filters import median3x3
@@ -176,7 +200,7 @@ def _sgbm_mst_frame_fused(
 
     gl = _gray_from_bgr(left_bgr)
     gr = _gray_from_bgr(right_bgr)
-    seed_l, seed_r = _seed_pair(gl, gr, sgbm_cfg)
+    seed_l, seed_r = _seed_pair(gl, gr, sgbm_cfg, right_seed)
     span = float(cfg.max_disp - 1)
 
     def view(bgr, vol, seed_disp, k):

@@ -274,6 +274,12 @@ class SGBMOutput(NamedTuple):
     disparity: jax.Array  # float32, invalid = min_disp - 1
     valid: jax.Array  # bool
     aggregated: jax.Array  # (H, W, D) summed path costs
+    # RIGHT-view disparity by min-cost projection — OpenCV's disp2, built
+    # anyway for the disp12 cross-check (computeDisparitySGBM's disp2buf);
+    # integer-valued, invalid = min_disp - 1, None when disp12 is off.
+    # Free right-view seed for the SGBM+3DMST composition
+    # (models/sgbm_mst.py right_seed="disp2").
+    right_disparity: jax.Array | None = None
 
 
 def sgbm_disparity(
@@ -310,9 +316,9 @@ def sgbm_disparity(
         s = aggregate_8path(c[:, margin:], float(p1), float(p2), cfg.num_paths)
     w = w_full - margin
 
-    out, valid = _select_from_aggregated(s, cfg, margin, w_full)
+    out, valid, rdisp = _select_from_aggregated(s, cfg, margin, w_full)
     agg = s if keep_volume else jnp.zeros((0,), s.dtype)
-    return SGBMOutput(out, valid, agg)
+    return SGBMOutput(out, valid, agg, rdisp)
 
 
 def _select_from_aggregated(s, cfg, margin, w_full):
@@ -384,8 +390,13 @@ def _select_from_aggregated(s, cfg, margin, w_full):
             return has & (jnp.abs(d2_at - dd) > cfg.disp12_max_diff)
 
         lr_ok = ~(_disp12_fails(d_floor) & _disp12_fails(d_ceil))
+        rdisp = jnp.where(
+            disp2 > -(2**20), disp2.astype(jnp.float32),
+            float(cfg.min_disp - 1),
+        )  # (h, w_full) right-view map, already in global columns
     else:
         lr_ok = jnp.ones((h, w), bool)
+        rdisp = None
 
     valid = unique_ok & lr_ok
     invalid_val = float(cfg.min_disp - 1)
@@ -393,7 +404,7 @@ def _select_from_aggregated(s, cfg, margin, w_full):
     # pad the never-evaluated left margin back as INVALID
     out = jnp.pad(out, ((0, 0), (margin, 0)), constant_values=invalid_val)
     valid = jnp.pad(valid, ((0, 0), (margin, 0)), constant_values=False)
-    return out.astype(jnp.float32), valid
+    return out.astype(jnp.float32), valid, rdisp
 
 
 def sgbm_disparity_banded(
@@ -481,10 +492,12 @@ def sgbm_disparity_banded(
             up_ys, _ = _row_scan_dirs(c_b, up_in[b], p1, p2, ndir, reverse=True)
             s = s + up_ys
         s = s + _col_scans_ew(c_b, p1, p2)
-        out_b, valid_b = _select_from_aggregated(s, cfg, margin, w_full)
-        return new_carry, (out_b, valid_b)
+        out_b, valid_b, rdisp_b = _select_from_aggregated(s, cfg, margin, w_full)
+        return new_carry, (out_b, valid_b, rdisp_b)
 
-    _, (out, valid) = jax.lax.scan(down_step, carry0, jnp.arange(nbands))
+    _, (out, valid, rdisp) = jax.lax.scan(down_step, carry0, jnp.arange(nbands))
     out = out.reshape(hb, w_full)[:h]
     valid = valid.reshape(hb, w_full)[:h]
-    return SGBMOutput(out, valid, jnp.zeros((0,), jnp.float32))
+    if rdisp is not None:
+        rdisp = rdisp.reshape(hb, w_full)[:h]
+    return SGBMOutput(out, valid, jnp.zeros((0,), jnp.float32), rdisp)

@@ -148,7 +148,7 @@ def sgbm_pipeline_mesh(
                 )
                 s = s + up_ys
             s = s + _col_scans_ew(c_b, p1, p2)
-            d_b, v_b = _select_from_aggregated(s, cfg, margin, w_full)
+            d_b, v_b, _ = _select_from_aggregated(s, cfg, margin, w_full)
             disp_out = disp_out.at[fc].set(jnp.where(active, d_b, disp_out[fc]))
             valid_out = valid_out.at[fc].set(
                 jnp.where(active, v_b, valid_out[fc])

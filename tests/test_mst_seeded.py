@@ -60,14 +60,21 @@ def test_plane_labels_from_disparity_exact_plane():
     np.testing.assert_allclose(d_back, want, atol=0.5)
 
 
-def test_sgbm_seed_right_view_mirror(half_scene):
-    """The right-view SGBM seed (mirror trick) matches the scene's exact
-    right-view GT where the fill didn't have to invent values."""
+@pytest.mark.parametrize("right_seed", ["mirror", "disp2"])
+def test_sgbm_seed_right_view(half_scene, right_seed):
+    """The right-view SGBM seed matches the scene's exact right-view GT
+    where the fill didn't have to invent values — both via the mirror
+    trick (a second SGBM) and via the FREE disp2 min-cost projection the
+    disp12 check builds anyway (integer-valued, so its gate is the
+    rounding bound)."""
     from stereomatch_tpu.config import SGBMConfig
     from stereomatch_tpu.models.sgbm_mst import sgbm_seed_disparities
 
     sc, m = half_scene
-    dl, dr = sgbm_seed_disparities(sc.left, sc.right, SGBMConfig(min_disp=0, num_disp=32, block_size=5))
+    dl, dr = sgbm_seed_disparities(
+        sc.left, sc.right, SGBMConfig(min_disp=0, num_disp=32, block_size=5),
+        right_seed=right_seed,
+    )
     mm_l = disparity_metrics(np.asarray(dl), sc.disp_left, m)
     # right-view eval away from borders (no eval mask exists for it)
     mr = np.ones_like(m)
@@ -75,8 +82,8 @@ def test_sgbm_seed_right_view_mirror(half_scene):
     mr[:8] = mr[-8:] = False
     mm_r = disparity_metrics(np.asarray(dr), sc.disp_right, mr)
     assert mm_l["epe"] < 1.0, mm_l
-    assert mm_r["epe"] < 1.0, mm_r
-    assert mm_r["bad2"] < 0.06, mm_r
+    assert mm_r["epe"] < (1.2 if right_seed == "disp2" else 1.0), mm_r
+    assert mm_r["bad2"] < 0.08, mm_r
 
 
 def test_sgbm_mst_fused_matches_unfused_device():
