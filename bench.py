@@ -592,7 +592,7 @@ out["compile_s"] = round(t1 - t0, 1)
 out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
 print(json.dumps(out))
 """
-    _subprocess_probe("mst_native_2048x1536x256", mst_native_code, 2000, extra)
+    _subprocess_probe("mst_native_2048x1536x256", mst_native_code, 2400, extra)
 
     # ---- mst_e2e + sgbm_plus_mst: the north-star composition (VERDICT
     # r2 #1c). Iteration budget from the measured quality-vs-work curve
@@ -691,6 +691,54 @@ print(json.dumps(out))
                 )
     except Exception as e:
         print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
+
+    # ---- fused SGBM+3DMST e2e: the whole north-star composition as ONE
+    # XLA program on the chip — on-device adgrad+guided volume build,
+    # SGBM seed (disp2 right view), on-device forest, F=4 truncated-
+    # ladder MST for BOTH views. A single measured s/frame, nothing
+    # composed from parts (models/sgbm_mst.py::sgbm_mst_stereo_fused's
+    # inner frame program). ----
+    fused_code = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.config import MSTConfig
+from stereomatch_tpu.models.mst import _fused_capacities
+from stereomatch_tpu.models.sgbm_mst import (
+    _default_sgbm_cfg, _sgbm_mst_frame_fused)
+from stereomatch_tpu.apps.stereo_yin import builtin_cost_volumes
+h, w, d = 960, 1280, 128
+rng = np.random.default_rng(0)
+img_l = (rng.random((h, w, 3)) * 255).astype(np.float32)
+for _ in range(3):
+    img_l = (img_l + np.roll(img_l, 1, 0) + np.roll(img_l, 1, 1)) / 3
+img_r = np.roll(img_l, -7, axis=1)  # timing-only synthetic pair
+cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16",
+                forest_backend="device")
+scfg = _default_sgbm_cfg(cfg)
+tmax, adj_cap = _fused_capacities(h, w, cfg)
+bl, br = jnp.asarray(img_l), jnp.asarray(img_r)
+jax.block_until_ready(br)
+
+@jax.jit
+def frame(bl, br, key):
+    vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
+    return _sgbm_mst_frame_fused(
+        bl, br, vl, vr, key, cfg, scfg, 4, 2.0, 4, h, w, tmax,
+        adj_cap, "disp2")
+
+t0 = time.time()
+dl, dr = frame(bl, br, jax.random.PRNGKey(0))
+float(jnp.sum(dl) + jnp.sum(dr))
+t1 = time.time()
+dl, dr = frame(bl, br, jax.random.PRNGKey(1))
+float(jnp.sum(dl) + jnp.sum(dr))
+t2 = time.time()
+print(json.dumps({"compile_s": round(t1 - t0, 1),
+                  "s_per_frame": round(t2 - t1, 2),
+                  "config": "1280x960x128 bf16 volume, device forest, "
+                            "F=4/view, disp2 right seed"}))
+"""
+    _subprocess_probe("sgbm_mst_fused_e2e", fused_code, 2400, extra)
 
     # ---- Pallas SGBM backend: try-compile with timeout, small then
     # near-full size (960x1152; the tunnel's remote compiler handles
