@@ -500,18 +500,24 @@ for be in ("xla", "pallas"):
 # analytic byte term below is proportional to K
 from stereomatch_tpu.ops.mst import refine_deltas
 K = 4 + int(refine_deltas(d)[0].shape[0])
-K_seeded = 4 + int(refine_deltas(d, start=2.0)[0].shape[0])
+# PRODUCTION seeded config (config.production_mst_config, GT-gated in
+# tests/test_mst_seeded.py): max_neighbors=2 + truncated ladder,
+# carry_iters=1, bf16 volume, pallas scans where they compiled
+MN_SEEDED, CI_SEEDED = 2, 1
+K_seeded = MN_SEEDED + int(refine_deltas(d, start=2.0)[0].shape[0])
 out["k_full"], out["k_seeded"] = K, K_seeded
-# measured seeded-ladder iteration (same program shape, fewer candidates)
+best = "pallas" if "ms_per_iteration_pallas" in out else "xla"
+# measured seeded iteration at the production config
 try:
-    cfgs = MSTConfig(max_disp=d, volume_dtype="bfloat16")
+    from stereomatch_tpu.config import production_mst_config
+    cfgs = production_mst_config(d, on_tpu=(best == "pallas"))
     a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfgs,
-                                   max_neighbors=4, iterations=1,
+                                   max_neighbors=MN_SEEDED, iterations=1,
                                    candidate_chunk=4, refine_start=2.0)
     float(jnp.sum(mc))  # compile + first run
     t1 = time.time()
     a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfgs,
-                                   max_neighbors=4, iterations=1,
+                                   max_neighbors=MN_SEEDED, iterations=1,
                                    candidate_chunk=4, refine_start=2.0)
     float(jnp.sum(mc))
     out["ms_per_iteration_seeded"] = round((time.time() - t1) * 1e3, 1)
@@ -522,21 +528,29 @@ ci = cfg.carry_iters
 # streamed bytes per scan traversal of the event array: the XLA blocked
 # scan re-materializes raw prefixes + corrections + carries (~5
 # traversals); the Pallas kernel (ops/mst_scan_pallas.py) keeps those in
-# VMEM (read + write = 2)
+# VMEM (read + write = 2). Gather lookups BY CLASS (memsys measures each
+# class's GB/s on this chip): sub_end per up-scan is near-diagonal
+# (local), euler_src per down-scan follows DFS order (local), in_pos is
+# monotone, label_cost reads node-order-permuted volume rows (local; 2
+# lookups/node bf16).
+def ana(k, ci_, trav):
+    stream = k * (1 + ci_) * (trav * n + trav * 2 * n) * 4 / 1e9
+    g_loc = (k * ((1 + ci_) * (n + 2 * n) * 4 + 2 * n * 2)) / 1e9
+    g_mon = k * (1 + ci_) * n * 4 / 1e9
+    return stream, g_loc, g_mon
 for be, trav in (("xla", 5), ("pallas", 2)):
-    out[f"analytic_stream_gb_per_iteration_{be}"] = round(
-        K * (1 + ci) * (trav * n + trav * 2 * n) * 4 / 1e9, 2)
-# gather lookups BY CLASS (memsys measures each class's GB/s on this
-# chip): sub_end per up-scan is near-diagonal (local), euler_src per
-# down-scan follows DFS order (local), in_pos is monotone, label_cost
-# reads node-order-permuted volume rows (local; 2 lookups/node bf16)
-gather_local_gb = (K * ((1 + ci) * (n + 2 * n) * 4 + 2 * n * 2)) / 1e9
-gather_mono_gb = K * (1 + ci) * n * 4 / 1e9
+    out[f"analytic_stream_gb_per_iteration_{be}"] = round(ana(K, ci, trav)[0], 2)
+gather_local_gb, gather_mono_gb = ana(K, ci, 5)[1:]
 out["analytic_gather_local_gb_per_iteration"] = round(gather_local_gb, 2)
 out["analytic_gather_monotone_gb_per_iteration"] = round(gather_mono_gb, 2)
-# back-compat aggregates (stream = xla model unless pallas ran)
-best = "pallas" if "ms_per_iteration_pallas" in out else "xla"
 out["scan_backend_used"] = best
+# seeded production analytics: K_seeded candidates, carry_iters=1, the
+# backend that actually ran
+s_st, s_gl, s_gm = ana(K_seeded, CI_SEEDED, 2 if best == "pallas" else 5)
+out["analytic_stream_gb_per_iteration_seeded"] = round(s_st, 2)
+out["analytic_gather_local_gb_per_iteration_seeded"] = round(s_gl, 2)
+out["analytic_gather_monotone_gb_per_iteration_seeded"] = round(s_gm, 2)
+out["ci_seeded"] = CI_SEEDED
 out["ms_per_iteration"] = out.get(f"ms_per_iteration_{best}",
                                   out.get("ms_per_iteration_xla"))
 out["compile_s"] = out.get(f"compile_s_{best}")
@@ -577,19 +591,26 @@ vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32),
                   dtype=jnp.bfloat16)  # host-cast: upload 1.6 GB not 3.2
 jax.block_until_ready(vol)
 out = {"treebuild_s": round(tb, 1)}
-cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16")
-t0 = time.time()
-a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfg,
-                               max_neighbors=4, iterations=1,
-                               candidate_chunk=2, refine_start=2.0)
-float(jnp.sum(mc))
-t1 = time.time()
-a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfg,
-                               max_neighbors=4, iterations=1,
-                               candidate_chunk=2, refine_start=2.0)
-float(jnp.sum(mc))
-out["compile_s"] = round(t1 - t0, 1)
-out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
+from stereomatch_tpu.config import production_mst_config
+for on_tpu in (True, False):  # pallas scans first, xla fallback
+    cfg = production_mst_config(d, on_tpu=on_tpu)
+    try:
+        t0 = time.time()
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfg,
+                                       max_neighbors=2, iterations=1,
+                                       candidate_chunk=2, refine_start=2.0)
+        float(jnp.sum(mc))
+        t1 = time.time()
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfg,
+                                       max_neighbors=2, iterations=1,
+                                       candidate_chunk=2, refine_start=2.0)
+        float(jnp.sum(mc))
+        out["compile_s"] = round(t1 - t0, 1)
+        out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
+        out["scan_backend"] = cfg.scan_backend
+        break
+    except Exception as e:
+        out[f"error_{cfg.scan_backend}"] = str(e)[:160]
 print(json.dumps(out))
 """
     _subprocess_probe("mst_native_2048x1536x256", mst_native_code, 2400, extra)
@@ -657,21 +678,42 @@ print(json.dumps(out))
             kf, ks = mst.get("k_full"), mst.get("k_seeded")
             if kf and ks:
                 f_fine = 4.0
-                equiv_seeded = f_fine * ks / kf + 1.0 / kf  # + seed pass
-                mst_s_opt_s = 2 * equiv_seeded * t_iter_opt
-                mst_s_der_s = 2 * equiv_seeded * t_iter_der
+                # production seeded analytics from the probe (K_seeded
+                # candidates, carry_iters=1, the scan backend that ran) —
+                # not the full-config numbers rescaled
+                s_st = mst.get("analytic_stream_gb_per_iteration_seeded")
+                s_gl = mst.get(
+                    "analytic_gather_local_gb_per_iteration_seeded", 0.0
+                )
+                s_gm = mst.get(
+                    "analytic_gather_monotone_gb_per_iteration_seeded", 0.0
+                )
+                if s_st is None:  # old probe fallback: rescale by K
+                    s_st = sgb * ks / kf
+                    s_gl, s_gm = g_loc * ks / kf, g_mon * ks / kf
+                t_it_opt_s = (s_st + s_gl + s_gm) / V5E_HBM_GBPS
+                t_it_der_s = (
+                    s_st + s_gl * pen_loc + s_gm * pen_mon
+                ) / V5E_HBM_GBPS
+                # per view: F fine iterations + the seed's own cost pass
+                # (one tree_filter + label_cost ~= 1/K_seeded iterations)
+                n_eq = f_fine + 1.0 / ks
+                mst_s_opt_s = 2 * n_eq * t_it_opt_s
+                mst_s_der_s = 2 * n_eq * t_it_der_s
                 fps_opt_s = 1.0 / (t_sgbm + mst_s_opt_s)
                 fps_der_s = 1.0 / (t_sgbm + mst_s_der_s)
                 ms_it_seed = mst.get(
                     "ms_per_iteration_seeded",
                     mst["ms_per_iteration"] * ks / kf,
                 )
-                local_s_s = (
-                    2 * (f_fine + 1.0 / ks) * ms_it_seed / 1e3 + 1.0 / fps
-                )
+                local_s_s = 2 * n_eq * ms_it_seed / 1e3 + 1.0 / fps
                 extra["sgbm_plus_mst_seeded"] = {
                     "fine_iterations_per_view": f_fine,
-                    "equiv_full_ladder_iterations": round(equiv_seeded, 2),
+                    "k_seeded": ks,
+                    "ci_seeded": mst.get("ci_seeded", 2),
+                    "analytic_gb_per_seeded_iteration": round(
+                        s_st + s_gl + s_gm, 2
+                    ),
                     "v5e_fps_optimistic": round(fps_opt_s, 1),
                     "v5e_fps_gather_derated": round(fps_der_s, 2),
                     "v5e_fps_derated_mirror_right_seed": round(
@@ -679,9 +721,10 @@ print(json.dumps(out))
                     ),
                     "local_tunnel_s_per_frame": round(local_s_s, 1),
                     "note": "one SGBM (disp2 seeds the right view free) "
-                    "+ plane-fit seed + F=4 truncated-ladder MST; "
-                    "GT-battery-gated (beats flat-30 on EPE/bad2, "
-                    "PARITY.md)",
+                    "+ plane-fit seed + F=4 truncated-ladder MST at the "
+                    "production config (max_neighbors=2, carry_iters=1, "
+                    "bf16 volume, pallas scans) — every choice GT-gated "
+                    "(tests/test_mst_seeded.py, PARITY.md)",
                 }
                 print(
                     f"sgbm_plus_mst_seeded: v5e fps {fps_der_s:.1f} "
@@ -701,7 +744,7 @@ print(json.dumps(out))
     fused_code = r"""
 import time, json
 import numpy as np, jax, jax.numpy as jnp
-from stereomatch_tpu.config import MSTConfig
+from stereomatch_tpu.config import production_mst_config
 from stereomatch_tpu.models.mst import _fused_capacities
 from stereomatch_tpu.models.sgbm_mst import (
     _default_sgbm_cfg, _sgbm_mst_frame_fused)
@@ -712,31 +755,38 @@ img_l = (rng.random((h, w, 3)) * 255).astype(np.float32)
 for _ in range(3):
     img_l = (img_l + np.roll(img_l, 1, 0) + np.roll(img_l, 1, 1)) / 3
 img_r = np.roll(img_l, -7, axis=1)  # timing-only synthetic pair
-cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16",
-                forest_backend="device")
-scfg = _default_sgbm_cfg(cfg)
-tmax, adj_cap = _fused_capacities(h, w, cfg)
 bl, br = jnp.asarray(img_l), jnp.asarray(img_r)
 jax.block_until_ready(br)
+out = {}
+for on_tpu in (True, False):  # production pallas scans; xla fallback
+    cfg = production_mst_config(d, on_tpu=on_tpu, forest_backend="device")
+    scfg = _default_sgbm_cfg(cfg)
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
 
-@jax.jit
-def frame(bl, br, key):
-    vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
-    return _sgbm_mst_frame_fused(
-        bl, br, vl, vr, key, cfg, scfg, 4, 2.0, 4, h, w, tmax,
-        adj_cap, "disp2")
+    @jax.jit
+    def frame(bl, br, key):
+        vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
+        return _sgbm_mst_frame_fused(
+            bl, br, vl, vr, key, cfg, scfg, 4, 2.0, 2, h, w, tmax,
+            adj_cap, "disp2")
 
-t0 = time.time()
-dl, dr = frame(bl, br, jax.random.PRNGKey(0))
-float(jnp.sum(dl) + jnp.sum(dr))
-t1 = time.time()
-dl, dr = frame(bl, br, jax.random.PRNGKey(1))
-float(jnp.sum(dl) + jnp.sum(dr))
-t2 = time.time()
-print(json.dumps({"compile_s": round(t1 - t0, 1),
-                  "s_per_frame": round(t2 - t1, 2),
-                  "config": "1280x960x128 bf16 volume, device forest, "
-                            "F=4/view, disp2 right seed"}))
+    try:
+        t0 = time.time()
+        dl, dr = frame(bl, br, jax.random.PRNGKey(0))
+        float(jnp.sum(dl) + jnp.sum(dr))
+        t1 = time.time()
+        dl, dr = frame(bl, br, jax.random.PRNGKey(1))
+        float(jnp.sum(dl) + jnp.sum(dr))
+        t2 = time.time()
+        out.update({"compile_s": round(t1 - t0, 1),
+                    "s_per_frame": round(t2 - t1, 2),
+                    "scan_backend": cfg.scan_backend,
+                    "config": "1280x960x128 bf16 volume, device forest, "
+                              "F=4/view mn=2 ci=1, disp2 right seed"})
+        break
+    except Exception as e:
+        out[f"error_{cfg.scan_backend}"] = str(e)[:160]
+print(json.dumps(out))
 """
     _subprocess_probe("sgbm_mst_fused_e2e", fused_code, 2400, extra)
 

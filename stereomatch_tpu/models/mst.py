@@ -281,7 +281,7 @@ def mst_stereo_seeded(
     seed: int = 0,
     fine_iterations: int | None = None,
     refine_start: float | None = 2.0,
-    max_neighbors: int = 8,
+    max_neighbors: int = 2,
 ) -> MSTOutput:
     """3DMST seeded from per-pixel disparity maps (e.g. SGBM's output —
     models/sgbm_mst.py composes exactly that): plane labels come from the

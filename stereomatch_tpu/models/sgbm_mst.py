@@ -94,7 +94,7 @@ def sgbm_mst_stereo(
     seed: int = 0,
     fine_iterations: int | None = None,
     refine_start: float | None = 2.0,
-    max_neighbors: int = 8,
+    max_neighbors: int = 2,
     right_seed: str = "disp2",
 ) -> MSTOutput:
     """End-to-end SGBM+3DMST on a rectified pair + (H, W, D) cost volumes.
@@ -105,6 +105,13 @@ def sgbm_mst_stereo(
     nearest-valid rule, the maps are plane-fit into per-node seeds, and a
     short truncated-ladder 3DMST run refines them. Same output contract
     as mst_stereo.
+
+    max_neighbors defaults to 2 (not the random-init path's 8): with a
+    good seed the neighbor-tree candidates mostly re-propose what the
+    seed already encodes, and the measured quality at mn=2 is equal or
+    BETTER at half/VGA GT scale and on the rectified FLIR pair (PARITY.md
+    production-config table) at ~2/3 of the per-iteration bytes. Pair
+    with config.production_mst_config for the full measured recipe.
     """
     if sgbm_cfg is None:
         # SGBM's disparity range must cover the MST label range; OpenCV's
@@ -136,7 +143,7 @@ def sgbm_mst_stereo_fused(
     seed: int = 0,
     fine_iterations: int = 4,
     refine_start: float | None = 2.0,
-    max_neighbors: int = 8,
+    max_neighbors: int = 2,
     right_seed: str = "disp2",
 ) -> MSTOutput:
     """The ENTIRE north-star composition as ONE jitted XLA program:

@@ -143,3 +143,37 @@ def test_sgbm_mst_absolute_gt(half_scene):
     mm = disparity_metrics(np.asarray(out.left_disp), sc.disp_left, valid)
     assert mm["epe"] < 1.2, mm
     assert mm["bad2"] < 0.08, mm
+
+
+def test_sgbm_mst_production_config_gt(half_scene):
+    """The PRODUCTION recipe (config.production_mst_config: carry_iters=1,
+    bf16 volume; call-site defaults max_neighbors=2 + truncated ladder)
+    meets the same absolute gates — and measured slightly BETTER than the
+    mn=4/ci=2 configuration at half scale, VGA scale AND on the rectified
+    FLIR pair (PARITY.md production-config table): with a good seed the
+    extra neighbor candidates and the second carry round buy nothing.
+    carry_iters=1 leaves only paths crossing >= 2 segment cuts
+    unaggregated, weight <= e^{-2*delta} ~ 3e-4 — at the fp32 noise floor
+    of the exp-factorized aggregation itself (ops/mst.py::tree_filter)."""
+    from stereomatch_tpu.config import CostVolumeConfig, production_mst_config
+    from stereomatch_tpu.models.sgbm_mst import sgbm_mst_stereo
+    from stereomatch_tpu.ops.cost import adgrad_bgr_volumes
+
+    sc, m = half_scene
+    lv, rv = adgrad_bgr_volumes(
+        sc.left, sc.right, CostVolumeConfig(min_disp=0, max_disp=31)
+    )
+    lv, rv = np.asarray(lv), np.asarray(rv)
+    s = 0.5 / max(lv.max(), rv.max())
+    cfg = production_mst_config(
+        32, on_tpu=False, iterations=30, min_cc_size=100, c=2000.0
+    )
+    assert cfg.carry_iters == 1 and cfg.volume_dtype == "bfloat16"
+    out = sgbm_mst_stereo(
+        sc.left, sc.right, lv * s, rv * s, cfg, seed=0, fine_iterations=4
+    )
+    valid = np.asarray(out.left_valid) & m
+    assert valid.mean() > 0.35
+    mm = disparity_metrics(np.asarray(out.left_disp), sc.disp_left, valid)
+    assert mm["epe"] < 1.2, mm  # measured 0.216 (mn=4/ci=2: 0.225)
+    assert mm["bad2"] < 0.08, mm  # measured 0.0057 (mn=4/ci=2: 0.0065)
