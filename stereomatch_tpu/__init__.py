@@ -14,7 +14,17 @@ __version__ = "0.1.0"
 
 from . import config  # noqa: F401
 
-_LAZY = ("pipelines", "eval", "io", "geometry", "ops", "models", "parallel", "utils")
+_LAZY = (
+    "pipelines",
+    "eval",
+    "io",
+    "geometry",
+    "ops",
+    "models",
+    "parallel",
+    "serving",
+    "utils",
+)
 
 
 def __getattr__(name):

@@ -1,0 +1,131 @@
+"""Serving layer: AOT compile from shape specs + async stream executor.
+
+The reference has no serving story — each engine is a per-frame
+executable main (src/stereo_opencv.cpp:93-176). These tests cover the
+TPU-native replacement: compile-before-data, executable introspection,
+ticketed async submission with backpressure, and the production
+SGBM-seeded-3DMST server end to end at a tiny shape.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereomatch_tpu.serving import (
+    CompiledPipeline,
+    StereoStreamServer,
+    compile_sgbm_mst_server,
+)
+
+
+def _toy_pipeline():
+    def fn(x, y):
+        return {"s": x + y, "m": jnp.max(x * y)}
+
+    spec = jax.ShapeDtypeStruct((4, 8), jnp.float32)
+    return CompiledPipeline(fn, (spec, spec))
+
+
+class TestCompiledPipeline:
+    def test_compiles_from_specs_alone(self):
+        pipe = _toy_pipeline()
+        x = jnp.ones((4, 8), jnp.float32)
+        out = pipe(x, 2 * x)
+        np.testing.assert_allclose(np.asarray(out["s"]), 3.0)
+        np.testing.assert_allclose(np.asarray(out["m"]), 2.0)
+
+    def test_shape_mismatch_is_a_clear_error(self):
+        pipe = _toy_pipeline()
+        bad = jnp.ones((4, 9), jnp.float32)
+        with pytest.raises(ValueError, match="fixed-shape"):
+            pipe(bad, bad)
+
+    def test_cost_analysis_exposed(self):
+        pipe = _toy_pipeline()
+        # 4x8 add + 4x8 mul + reduce-max: > 0 flops on every backend
+        assert pipe.flops > 0
+        assert pipe.in_specs[0].shape == (4, 8)
+
+
+class TestStreamServer:
+    def test_tickets_collect_in_any_order(self):
+        server = StereoStreamServer(_toy_pipeline(), capacity=2)
+        xs = [jnp.full((4, 8), float(i)) for i in range(4)]
+        tickets = [server.submit(x, x) for x in xs]
+        # out-of-order collect; backpressure already forced 0 and 1 done
+        got3 = server.collect(tickets[3])
+        got0 = server.collect(tickets[0])
+        np.testing.assert_allclose(got3["s"], 6.0)
+        np.testing.assert_allclose(got0["s"], 0.0)
+        rest = server.drain()
+        assert len(rest) == 2
+        np.testing.assert_allclose(rest[0]["s"], 2.0)
+        np.testing.assert_allclose(rest[1]["s"], 4.0)
+
+    def test_collect_twice_raises(self):
+        server = StereoStreamServer(_toy_pipeline(), capacity=1)
+        t = server.submit(jnp.ones((4, 8)), jnp.ones((4, 8)))
+        server.collect(t)
+        with pytest.raises(KeyError):
+            server.collect(t)
+
+    def test_capacity_validated(self):
+        with pytest.raises(ValueError):
+            StereoStreamServer(_toy_pipeline(), capacity=0)
+
+
+class TestSgbmMstServer:
+    """One AOT compile of the real fused production pipeline (tiny)."""
+
+    H, W, D = 48, 64, 16
+
+    @pytest.fixture(scope="class")
+    def server(self):
+        from stereomatch_tpu.config import production_mst_config
+
+        cfg = production_mst_config(
+            self.D, on_tpu=False, min_cc_size=20, c=800.0
+        )
+        return compile_sgbm_mst_server(
+            self.H, self.W, cfg=cfg, fine_iterations=2, capacity=2
+        )
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.default_rng(7)
+        img = (rng.random((self.H, self.W, 3)) * 255).astype(np.float32)
+        for _ in range(2):
+            img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+        left = img
+        right = np.roll(img, -3, axis=1)
+        return left, right
+
+    def test_stream_end_to_end(self, server, pair):
+        left, right = pair
+        t0 = server.submit_pair(left, right)
+        t1 = server.submit_pair(right, left)  # distinct second frame
+        dl0, dr0 = server.collect(t0)
+        dl1, _ = server.collect(t1)
+        assert dl0.shape == (self.H, self.W)
+        assert np.isfinite(dl0).all() and np.isfinite(dr0).all()
+        assert float(dl0.max()) <= self.D - 1 + 1e-3
+        assert float(dl0.min()) >= 0.0
+        # the two frames saw different inputs -> different maps
+        assert not np.allclose(dl0, dl1)
+
+    def test_submit_matches_direct_executable_call(self, server, pair):
+        """submit_pair wiring == calling the compiled program directly
+        (same executable, same key) — no recompilation involved."""
+        left, right = pair
+        t = server.submit_pair(left, right, seed=0)
+        dl, dr = server.collect(t)
+        dl2, dr2 = server.pipeline(
+            jnp.asarray(left), jnp.asarray(right), jax.random.PRNGKey(0)
+        )
+        np.testing.assert_array_equal(dl, np.asarray(dl2))
+        np.testing.assert_array_equal(dr, np.asarray(dr2))
+
+    def test_capacity_planning_numbers(self, server):
+        assert server.pipeline.flops > 0
+        assert server.pipeline.peak_hbm_bytes >= 0
