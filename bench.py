@@ -733,6 +733,37 @@ print(json.dumps(out))
                     file=sys.stderr,
                 )
 
+                # ---- VIDEO mode (temporal seeding, round 3): the
+                # previous frame's refined maps seed the labels, so the
+                # steady-state frame drops the SGBM pass entirely; SGBM
+                # runs only on keyframes (models/sgbm_mst.py::
+                # sgbm_mst_video + serving.compile_mst_video_server,
+                # GT-sequence-gated in tests/test_mst_video.py). ----
+                ti_video = 2.0  # measured recipe: ti=2 BEATS ti=4 on the
+                # GT sequence (tests/test_mst_video.py) — a one-frame-
+                # stale seed needs less polish than a fresh SGBM seed
+                n_eq_v = ti_video + 1.0 / ks
+                mst_s_der_v = 2 * n_eq_v * t_it_der_s
+                extra["sgbm_plus_mst_video"] = {
+                    "temporal_iterations_per_view": ti_video,
+                    "v5e_fps_derated_steady_state": round(
+                        1.0 / mst_s_der_v, 2
+                    ),
+                    "v5e_fps_derated_reseed_every_30": round(
+                        1.0 / (mst_s_der_v + t_sgbm / 30.0), 2
+                    ),
+                    "note": "temporal seeding: frame N's refined maps "
+                    "seed frame N+1's plane labels on device — the "
+                    "steady-state video frame is refine-only (no SGBM, "
+                    "2 iterations/view); keyframe cadence amortizes the "
+                    "reseed (GT-sequence-gated, tests/test_mst_video.py)",
+                }
+                print(
+                    "sgbm_plus_mst_video: v5e fps "
+                    f"{1.0 / mst_s_der_v:.1f} (steady-state, derated)",
+                    file=sys.stderr,
+                )
+
                 # ---- scaling: fps/chip efficiency at N chips (BASELINE
                 # "Scaling" row). Real multi-chip hardware is absent in
                 # this environment (one tunneled chip), so the N>1

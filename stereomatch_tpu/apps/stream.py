@@ -129,6 +129,7 @@ def run_mst(
     resume: bool = False,
     forest_backend: str = "host",
     sgbm_seed: bool = False,
+    temporal_reseed: int | None = None,
 ):
     """Streaming 3DMST with the host forest build OFF the critical path:
     frame N+1's forests are built by a worker thread (the ctypes C++
@@ -142,7 +143,13 @@ def run_mst(
     sgbm_seed=True is the streaming north-star composition
     (models/sgbm_mst.py): SGBM both views seeds the plane labels and
     `iterations` becomes the short truncated-ladder refinement budget
-    (pass e.g. 4)."""
+    (pass e.g. 4).
+
+    temporal_reseed (with sgbm_seed) turns on VIDEO mode: SGBM seeds only
+    frame 0 (and every temporal_reseed-th frame if > 0); every other
+    frame seeds from the PREVIOUS frame's refined maps, dropping the SGBM
+    pass from the steady-state frame (sgbm_mst_video semantics,
+    GT-sequence-gated in tests/test_mst_video.py)."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -202,6 +209,7 @@ def run_mst(
         return build_view_forest(bl, cfg), build_view_forest(br, cfg)
 
     disps, waits = [], []
+    prev_maps = None  # (dense left, dense right) refined maps for temporal seeding
     os.makedirs(out_dir, exist_ok=True)
     with ThreadPoolExecutor(max_workers=2) as ex:
         futs = {0: ex.submit(build_pair, 0)}
@@ -227,10 +235,18 @@ def run_mst(
                     )
                     from ..ops.mst import plane_labels_from_disparity
 
-                    sdl, sdr = sgbm_seed_disparities(
-                        bl, br, _default_sgbm_cfg(cfg)
-                    )
                     span = float(max_disp - 1)
+                    temporal_frame = (
+                        temporal_reseed is not None
+                        and prev_maps is not None
+                        and not (temporal_reseed and i % temporal_reseed == 0)
+                    )
+                    if temporal_frame:
+                        sdl, sdr = prev_maps  # video mode: previous refined maps
+                    else:
+                        sdl, sdr = sgbm_seed_disparities(
+                            bl, br, _default_sgbm_cfg(cfg)
+                        )
                     inits = []
                     for sd, fa, vol in ((sdl, fa_l, lv), (sdr, fa_r, rv)):
                         a0, b0, c0 = plane_labels_from_disparity(
@@ -249,6 +265,7 @@ def run_mst(
                         refine_start=2.0,
                     )
                     dr = labels_to_disparity(a, b, c, fa_r, max_disp) * span
+                    prev_maps = (dl, dr)
                 else:
                     a, b, c, _ = mst_pms_optimize(kl, lv, fa_l, cfg)
                     dl = labels_to_disparity(a, b, c, fa_l, max_disp) * (max_disp - 1.0)
@@ -287,13 +304,18 @@ def main():
                     default="host",
                     help="mst engine: host C++ builder (lookahead-hidden) "
                     "or the fully on-device jitted builder")
+    ap.add_argument("--temporal-reseed", type=int, default=None,
+                    help="sgbm_mst engine: VIDEO mode — SGBM seeds only "
+                    "frame 0 (and every N-th frame if N > 0); other "
+                    "frames seed from the previous refined maps")
     a = ap.parse_args()
     if a.engine in ("mst", "sgbm_mst"):
         seeded = a.engine == "sgbm_mst"
         iters = a.iterations or (4 if seeded else 20)
         run_mst(a.data_dir, a.calib, a.out_dir, scale=a.scale,
                 max_disp=a.max_disp, iterations=iters, resume=a.resume,
-                forest_backend=a.forest_backend, sgbm_seed=seeded)
+                forest_backend=a.forest_backend, sgbm_seed=seeded,
+                temporal_reseed=a.temporal_reseed)
     else:
         run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
             resume=a.resume)

@@ -28,8 +28,10 @@ from .mst import (  # noqa: F401
     mst_stereo_seeded,
 )
 from .sgbm_mst import (  # noqa: F401
+    mst_stereo_temporal_fused,
     sgbm_mst_stereo,
     sgbm_mst_stereo_fused,
+    sgbm_mst_video,
     sgbm_seed_disparities,
 )
 from .patchmatch import patchmatch_pipeline, PatchMatchOutput  # noqa: F401

@@ -29,6 +29,8 @@ __all__ = [
     "sgbm_seed_disparities",
     "sgbm_mst_stereo",
     "sgbm_mst_stereo_fused",
+    "mst_stereo_temporal_fused",
+    "sgbm_mst_video",
 ]
 
 
@@ -183,6 +185,47 @@ def sgbm_mst_stereo_fused(
     return MSTOutput(disp_l_checked, disp_r, valid)
 
 
+def _fused_refine_view(
+    bgr, vol, seed_disp, k, cfg: MSTConfig, h: int, w: int, tmax: int,
+    adj_cap: int, fine_iterations: int, refine_start, max_neighbors: int,
+):
+    """One view of the fused frame program: median prefilter + edge
+    weights + on-device forest (ops/device_forest.py) + plane-fit seeding
+    + truncated-ladder label refinement — shared by the SGBM-seeded and
+    the temporal (video) frame programs."""
+    from ..ops.device_forest import build_forest_device, device_forest_arrays
+    from ..ops.filters import median3x3
+    from ..ops.mst import (
+        labels_to_disparity,
+        mst_pms_optimize,
+        plane_labels_from_disparity,
+    )
+    from .mst import _seed_min_cost
+
+    span = float(cfg.max_disp - 1)
+    if cfg.volume_dtype != "float32":
+        vol = vol.astype(cfg.volume_dtype)
+    img = median3x3(bgr) if cfg.median_prefilter else bgr
+    im = img if img.ndim == 3 else img[..., None]
+    wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
+    wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
+    raw = build_forest_device(
+        wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
+        delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
+    )
+    fa = device_forest_arrays(raw, h, w, tmax=tmax, check=False)
+    a0, b0, c0 = plane_labels_from_disparity(
+        jnp.clip(seed_disp, 0.0, span), fa
+    )
+    mc0 = _seed_min_cost(vol, a0, b0, c0, fa, cfg)
+    a, b, c, _ = mst_pms_optimize(
+        k, vol, fa, cfg, max_neighbors=max_neighbors,
+        iterations=fine_iterations, init_state=(a0, b0, c0, mc0),
+        refine_start=refine_start,
+    )
+    return labels_to_disparity(a, b, c, fa, cfg.max_disp) * span
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -196,44 +239,153 @@ def _sgbm_mst_frame_fused(
     max_neighbors: int, h: int, w: int, tmax: int, adj_cap: int,
     right_seed: str = "disp2",
 ):
-    from ..ops.device_forest import build_forest_device, device_forest_arrays
-    from ..ops.filters import median3x3
-    from ..ops.mst import (
-        labels_to_disparity,
-        mst_pms_optimize,
-        plane_labels_from_disparity,
-    )
-    from .mst import _seed_min_cost
-
     gl = _gray_from_bgr(left_bgr)
     gr = _gray_from_bgr(right_bgr)
     seed_l, seed_r = _seed_pair(gl, gr, sgbm_cfg, right_seed)
-    span = float(cfg.max_disp - 1)
-
-    def view(bgr, vol, seed_disp, k):
-        if cfg.volume_dtype != "float32":
-            vol = vol.astype(cfg.volume_dtype)
-        img = median3x3(bgr) if cfg.median_prefilter else bgr
-        im = img if img.ndim == 3 else img[..., None]
-        wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
-        wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
-        raw = build_forest_device(
-            wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
-            delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
-        )
-        fa = device_forest_arrays(raw, h, w, tmax=tmax, check=False)
-        a0, b0, c0 = plane_labels_from_disparity(
-            jnp.clip(seed_disp, 0.0, span), fa
-        )
-        mc0 = _seed_min_cost(vol, a0, b0, c0, fa, cfg)
-        a, b, c, _ = mst_pms_optimize(
-            k, vol, fa, cfg, max_neighbors=max_neighbors,
-            iterations=fine_iterations, init_state=(a0, b0, c0, mc0),
-            refine_start=refine_start,
-        )
-        return labels_to_disparity(a, b, c, fa, cfg.max_disp) * span
-
     kl, kr = jax.random.split(key)
-    disp_l = view(left_bgr, left_vol, seed_l, kl)
-    disp_r = view(right_bgr, right_vol, seed_r, kr)
+    disp_l = _fused_refine_view(
+        left_bgr, left_vol, seed_l, kl, cfg, h, w, tmax, adj_cap,
+        fine_iterations, refine_start, max_neighbors,
+    )
+    disp_r = _fused_refine_view(
+        right_bgr, right_vol, seed_r, kr, cfg, h, w, tmax, adj_cap,
+        fine_iterations, refine_start, max_neighbors,
+    )
     return disp_l, disp_r
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "fine_iterations", "refine_start", "max_neighbors",
+        "h", "w", "tmax", "adj_cap",
+    ),
+)
+def _mst_refine_frame_fused(
+    left_bgr, right_bgr, left_vol, right_vol, seed_l, seed_r, key,
+    cfg: MSTConfig, fine_iterations: int, refine_start,
+    max_neighbors: int, h: int, w: int, tmax: int, adj_cap: int,
+):
+    """The steady-state VIDEO frame program: identical to
+    _sgbm_mst_frame_fused except the seed disparities arrive as inputs
+    (the previous frame's refined maps) instead of an in-program SGBM
+    pass — the whole SGBM stage drops out of the per-frame byte budget."""
+    kl, kr = jax.random.split(key)
+    disp_l = _fused_refine_view(
+        left_bgr, left_vol, seed_l, kl, cfg, h, w, tmax, adj_cap,
+        fine_iterations, refine_start, max_neighbors,
+    )
+    disp_r = _fused_refine_view(
+        right_bgr, right_vol, seed_r, kr, cfg, h, w, tmax, adj_cap,
+        fine_iterations, refine_start, max_neighbors,
+    )
+    return disp_l, disp_r
+
+
+def mst_stereo_temporal_fused(
+    left_bgr,
+    right_bgr,
+    left_vol,
+    right_vol,
+    prev_left_disp,
+    prev_right_disp,
+    cfg: MSTConfig = MSTConfig(),
+    seed: int = 0,
+    fine_iterations: int = 4,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 2,
+) -> MSTOutput:
+    """One VIDEO frame as one jitted program: the previous frame's refined
+    disparity maps (both views, dense) seed this frame's plane labels and
+    a short truncated-ladder refinement absorbs the inter-frame motion —
+    the measured degraded-seed repair behavior (PARITY.md) is exactly the
+    mechanism. Requires forest_backend="device". The reference re-solves
+    every frame from scratch at 100 random-init iterations
+    (src/stereo_Yin.cpp:207, src/Stereo3DMST.cpp:858-889)."""
+    from .mst import _apply_smoothness, _fused_capacities
+    from ..ops.postprocess import lr_consistency
+
+    h, w = int(np.asarray(left_bgr).shape[0]), int(np.asarray(left_bgr).shape[1])
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
+    span = float(cfg.max_disp - 1)
+    disp_l, disp_r = _mst_refine_frame_fused(
+        jnp.asarray(np.asarray(left_bgr, np.float32)),
+        jnp.asarray(np.asarray(right_bgr, np.float32)),
+        jnp.asarray(left_vol),
+        jnp.asarray(right_vol),
+        jnp.clip(jnp.asarray(prev_left_disp), 0.0, span),
+        jnp.clip(jnp.asarray(prev_right_disp), 0.0, span),
+        jax.random.PRNGKey(seed), cfg, fine_iterations, refine_start,
+        max_neighbors, h, w, tmax, adj_cap,
+    )
+    disp_l = _apply_smoothness(disp_l, left_bgr, cfg)
+    disp_r = _apply_smoothness(disp_r, right_bgr, cfg)
+    disp_l_checked, valid = lr_consistency(
+        disp_l, disp_r, float(cfg.max_disp), fill=False
+    )
+    return MSTOutput(disp_l_checked, disp_r, valid)
+
+
+def sgbm_mst_video(
+    frames,
+    volumes,
+    cfg: MSTConfig = MSTConfig(),
+    sgbm_cfg: SGBMConfig | None = None,
+    reseed_every: int = 0,
+    fine_iterations: int = 4,
+    temporal_iterations: int | None = None,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 2,
+    right_seed: str = "disp2",
+    seed: int = 0,
+) -> list[MSTOutput]:
+    """Temporal-seeded streaming composition over a frame sequence.
+
+    Frame 0 (and every `reseed_every`-th frame, if set) runs the full
+    SGBM-seeded pipeline; every other frame seeds its plane labels from
+    the PREVIOUS frame's refined maps (left: LR-valid pixels, holes
+    filled with the reference's nearest-valid rule; right: the dense
+    refined map) — so the steady-state frame skips SGBM entirely and
+    runs only `temporal_iterations` (default: `fine_iterations`)
+    truncated-ladder refinements. Absolute quality gated per frame on
+    the procedural GT sequence (tests/test_mst_video.py).
+
+    Measured recipe (GT sequence, 3 px/frame drift): pass a
+    `refine_start` that COVERS the expected inter-frame motion (4.0 at
+    3 px drift halved bad2 vs the single-frame default 2.0) and
+    `temporal_iterations=2` — which measured BETTER than 4 (bad2
+    2.3-3.3% vs 4.5-6.6%): with a one-frame-stale good seed, extra
+    iterations pull labels toward the cost volume's own noisier optimum
+    rather than toward GT.
+
+    `frames` = iterable of (left_bgr, right_bgr); `volumes` = matching
+    iterable of (left_vol, right_vol) cost volumes.
+    """
+    from .mst import mst_stereo_seeded
+
+    span = float(cfg.max_disp - 1)
+    ti = fine_iterations if temporal_iterations is None else temporal_iterations
+    outs: list[MSTOutput] = []
+    prev: MSTOutput | None = None
+    for i, ((lb, rb), (lv, rv)) in enumerate(zip(frames, volumes)):
+        keyframe = prev is None or (reseed_every and i % reseed_every == 0)
+        if keyframe:
+            out = sgbm_mst_stereo(
+                lb, rb, lv, rv, cfg, sgbm_cfg, seed=seed + i,
+                fine_iterations=fine_iterations, refine_start=refine_start,
+                max_neighbors=max_neighbors, right_seed=right_seed,
+            )
+        else:
+            seed_l = jnp.clip(
+                nearest_valid_fill(prev.left_disp, prev.left_valid),
+                0.0, span,
+            )
+            seed_r = jnp.clip(prev.right_disp, 0.0, span)
+            out = mst_stereo_seeded(
+                lb, rb, lv, rv, seed_l, seed_r, cfg, seed=seed + i,
+                fine_iterations=ti, refine_start=refine_start,
+                max_neighbors=max_neighbors,
+            )
+        outs.append(out)
+        prev = out
+    return outs

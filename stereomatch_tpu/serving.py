@@ -37,7 +37,9 @@ from .config import MSTConfig, SGBMConfig
 __all__ = [
     "CompiledPipeline",
     "StereoStreamServer",
+    "VideoStreamServer",
     "compile_sgbm_mst_server",
+    "compile_mst_video_server",
 ]
 
 
@@ -140,14 +142,14 @@ class StereoStreamServer:
         self._next = 0
         self._done: dict[int, Any] = {}
 
-    def submit(self, *frame_args) -> int:
+    def submit(self, *frame_args, _pipeline: CompiledPipeline | None = None) -> int:
         if len(self._queue) >= self.capacity:
             self._finish(self._queue.popleft())
         dev = [
             a if isinstance(a, jax.Array) else jax.device_put(jnp.asarray(a))
             for a in frame_args
         ]
-        out = self.pipeline(*dev)
+        out = (_pipeline or self.pipeline)(*dev)
         ticket = self._next
         self._next += 1
         self._queue.append(_Pending(ticket, out))
@@ -227,3 +229,124 @@ def compile_sgbm_mst_server(
 
     server.submit_pair = submit_pair  # type: ignore[attr-defined]
     return server
+
+
+class VideoStreamServer(StereoStreamServer):
+    """Stateful video executor: frame N's refined disparity maps seed
+    frame N+1's plane labels ON DEVICE.
+
+    The seed dependency is a jax.Array future, so chaining frames never
+    syncs the host — XLA schedules frame N+1's refine program behind
+    frame N's outputs and the async upload/compute overlap of the base
+    executor is preserved. Keyframes (frame 0 and, if `reseed_every` is
+    set, every K-th frame) run the full SGBM-seeded program
+    (`self.pipeline`); steady-state frames run the refine-only program,
+    dropping the whole SGBM stage from the per-frame byte budget
+    (models/sgbm_mst.py::_mst_refine_frame_fused)."""
+
+    def __init__(
+        self,
+        keyframe_pipeline: CompiledPipeline,
+        refine_pipeline: CompiledPipeline,
+        capacity: int = 2,
+        reseed_every: int = 0,
+    ):
+        super().__init__(keyframe_pipeline, capacity=capacity)
+        self.refine_pipeline = refine_pipeline
+        self.reseed_every = reseed_every
+        self._prev: Any = None
+
+    def submit_pair(self, left_bgr, right_bgr, seed: int | None = None) -> int:
+        i = self._next
+        key = jax.random.PRNGKey(i if seed is None else seed)
+        keyframe = self._prev is None or (
+            self.reseed_every and i % self.reseed_every == 0
+        )
+        if keyframe:
+            t = self.submit(left_bgr, right_bgr, key)
+        else:
+            t = self.submit(
+                left_bgr, right_bgr, *self._prev, key,
+                _pipeline=self.refine_pipeline,
+            )
+        self._prev = self._queue[-1].outputs  # (disp_l, disp_r) device arrays
+        return t
+
+    def reset(self) -> None:
+        """Drop the temporal state (scene cut): the next frame reseeds."""
+        self._prev = None
+
+
+def compile_mst_video_server(
+    h: int,
+    w: int,
+    cfg: MSTConfig | None = None,
+    sgbm_cfg: SGBMConfig | None = None,
+    fine_iterations: int = 4,
+    temporal_iterations: int | None = 2,
+    refine_start: float | None = 2.0,
+    max_neighbors: int = 2,
+    right_seed: str = "disp2",
+    reseed_every: int = 0,
+    capacity: int = 2,
+    on_tpu: bool | None = None,
+) -> VideoStreamServer:
+    """AOT-compile the VIDEO serving pair for an HxW stream: the
+    SGBM-seeded keyframe program plus the temporal refine-only program
+    (previous frame's maps in, refined maps out), both from shape specs
+    alone. Steady-state per-frame work = cost-volume build + forest +
+    `temporal_iterations` truncated-ladder refinements — no SGBM pass.
+
+    temporal_iterations defaults to the measured video recipe (2: better
+    than 4 on the GT sequence — tests/test_mst_video.py); raise
+    `refine_start` to at least the expected inter-frame motion in pixels
+    for fast scenes (4.0 at 3 px/frame measured; 2.0 suits slow motion).
+    """
+    from .config import production_mst_config
+    from .models.mst import _fused_capacities
+    from .models.sgbm_mst import (
+        _default_sgbm_cfg,
+        _mst_refine_frame_fused,
+        _sgbm_mst_frame_fused,
+    )
+    from .apps.stereo_yin import builtin_cost_volumes
+
+    if cfg is None:
+        if on_tpu is None:
+            on_tpu = jax.default_backend() == "tpu"
+        cfg = production_mst_config(128, on_tpu=on_tpu, forest_backend="device")
+    if sgbm_cfg is None:
+        sgbm_cfg = _default_sgbm_cfg(cfg)
+    d = cfg.max_disp
+    ti = fine_iterations if temporal_iterations is None else temporal_iterations
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
+    span = float(d - 1)
+
+    def keyframe(left_bgr, right_bgr, key):
+        vl, vr = builtin_cost_volumes(
+            left_bgr[..., ::-1], right_bgr[..., ::-1], d
+        )
+        return _sgbm_mst_frame_fused(
+            left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
+            fine_iterations, refine_start, max_neighbors, h, w,
+            tmax, adj_cap, right_seed,
+        )
+
+    def refine(left_bgr, right_bgr, prev_dl, prev_dr, key):
+        vl, vr = builtin_cost_volumes(
+            left_bgr[..., ::-1], right_bgr[..., ::-1], d
+        )
+        return _mst_refine_frame_fused(
+            left_bgr, right_bgr, vl, vr,
+            jnp.clip(prev_dl, 0.0, span), jnp.clip(prev_dr, 0.0, span),
+            key, cfg, ti, refine_start, max_neighbors, h, w, tmax, adj_cap,
+        )
+
+    img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
+    dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    key_pipe = CompiledPipeline(keyframe, (img, img, key))
+    ref_pipe = CompiledPipeline(refine, (img, img, dsp, dsp, key))
+    return VideoStreamServer(
+        key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every
+    )

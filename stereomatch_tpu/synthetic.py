@@ -40,7 +40,12 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["StereoScene", "render_scene", "scene_eval_mask"]
+__all__ = [
+    "StereoScene",
+    "render_scene",
+    "render_sequence",
+    "scene_eval_mask",
+]
 
 
 class StereoScene(NamedTuple):
@@ -97,17 +102,11 @@ def _in_support(s: _Surface, x, y):
     return (x - cx) ** 2 + (y - cy) ** 2 <= r * r
 
 
-def render_scene(
-    seed: int,
-    height: int,
-    width: int,
-    max_disp: int,
-    n_discs: int = 3,
-    n_waves: int = 24,
-) -> StereoScene:
-    """Render one textured slanted-plane + occluding-discs scene with exact
-    subpixel ground truth. All disparities land in [2, max_disp - 2]."""
-    rng = np.random.default_rng(seed)
+def _make_surfaces(rng, height: int, width: int, max_disp: int,
+                   n_discs: int, n_waves: int):
+    """Draw the scene's surfaces (shared by render_scene and
+    render_sequence so frame 0 of a sequence is bitwise the single-frame
+    scene). Returns (surfaces, bg_top, hi)."""
     lo, hi = 2.0, max_disp - 2.0
     span = hi - lo
 
@@ -144,7 +143,12 @@ def render_scene(
                 (cx, cy, r),
             )
         )
+    return surfaces, bg_top, hi
 
+
+def _render_surfaces(surfaces, height: int, width: int) -> StereoScene:
+    """Exact two-view render of a surface list (left/right z-buffers +
+    closed-form occlusion mask — see module docstring)."""
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
 
     # ---- left view z-buffer ----
@@ -201,6 +205,93 @@ def render_scene(
         occ_left=occ,
         max_disp=float(d_left.max()),
     )
+
+
+def render_scene(
+    seed: int,
+    height: int,
+    width: int,
+    max_disp: int,
+    n_discs: int = 3,
+    n_waves: int = 24,
+) -> StereoScene:
+    """Render one textured slanted-plane + occluding-discs scene with exact
+    subpixel ground truth. All disparities land in [2, max_disp - 2]."""
+    rng = np.random.default_rng(seed)
+    surfaces, _, _ = _make_surfaces(rng, height, width, max_disp, n_discs, n_waves)
+    return _render_surfaces(surfaces, height, width)
+
+
+def _shifted_surface(s: _Surface, dx: float, dy: float, dd: float) -> _Surface:
+    """The surface translated by (dx, dy) in the image plane with its
+    texture riding along, and its disparity plane offset by dd — the
+    closed-form render stays exact for any shift."""
+    if s.disc is None:
+        return s if dd == 0.0 else _Surface(s.a, s.b, s.c + dd, s.tex, None)
+    cx, cy, r = s.disc
+
+    def moved(x, y, _f=s.tex, _dx=dx, _dy=dy):
+        return _f(x - _dx, y - _dy)
+
+    # plane moves with the disc: d'(x, y) = d(x - dx, y - dy) + dd
+    return _Surface(
+        s.a, s.b, s.c - s.a * dx - s.b * dy + dd, moved, (cx + dx, cy + dy, r)
+    )
+
+
+def render_sequence(
+    seed: int,
+    n_frames: int,
+    height: int,
+    width: int,
+    max_disp: int,
+    n_discs: int = 3,
+    n_waves: int = 24,
+    drift: float = 2.0,
+) -> list[StereoScene]:
+    """A temporally coherent scene sequence with exact per-frame GT: the
+    discs translate by ~`drift` px/frame along random directions and drift
+    in disparity, the background stays put (static-camera video). Frame 0
+    is bitwise identical to render_scene(seed, ...). This is the absolute
+    oracle for the temporal-seeding video mode
+    (models/sgbm_mst.py::sgbm_mst_video): frame-to-frame disparity changes
+    are real but bounded, like consecutive frames of the reference's FLIR
+    capture (the reference re-solves every frame from scratch,
+    src/stereo_Yin.cpp:207)."""
+    rng = np.random.default_rng(seed)
+    surfaces, bg_top, hi = _make_surfaces(
+        rng, height, width, max_disp, n_discs, n_waves
+    )
+    horizon = max(1, n_frames - 1)
+    motions = []
+    for s in surfaces:
+        if s.disc is None:
+            motions.append((0.0, 0.0, 0.0))
+            continue
+        ang = rng.uniform(0.0, 2.0 * np.pi)
+        vx, vy = drift * np.cos(ang), drift * np.sin(ang)
+        cx, cy, r = s.disc
+        # keep the disc inside its valid placement box for every frame
+        vx = float(np.clip(vx, (r + max_disp - cx) / horizon,
+                           (width - 1.0 - r - cx) / horizon))
+        vy = float(np.clip(vy, (r - cy) / horizon,
+                           (height - 1.0 - r - cy) / horizon))
+        # disparity drift, clamped so the disc stays strictly in front of
+        # the background and below the scene bound at every frame
+        d_c = s.a * cx + s.b * cy + s.c
+        slope_r = (abs(s.a) + abs(s.b)) * r
+        lo_b = (bg_top + 2.0 + slope_r - d_c) / horizon
+        hi_b = max(lo_b, (hi - slope_r - d_c) / horizon)
+        dd = float(np.clip(rng.uniform(-0.5, 0.5), lo_b, hi_b))
+        motions.append((vx, vy, dd))
+    frames = []
+    for t in range(n_frames):
+        shifted = [
+            _shifted_surface(s, vx * t, vy * t, dd * t)
+            for s, (vx, vy, dd) in zip(surfaces, motions)
+        ]
+        frames.append(_render_surfaces(shifted, height, width))
+    return frames
 
 
 def scene_eval_mask(scene: StereoScene, margin: int = 8) -> np.ndarray:

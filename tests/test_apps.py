@@ -135,3 +135,22 @@ def test_stream_mst_overlapped_forest_build(tmp_path):
         iterations=4, verbose=False, resume=True,
     )
     assert disps2.size == 0
+
+
+def test_stream_mst_temporal_video_mode(tmp_path):
+    """VIDEO mode end to end: frame 0 SGBM-seeded, frame 1 seeded from
+    frame 0's refined maps (temporal_reseed=0 -> keyframe only at start).
+    Quality is gated on the GT sequence (tests/test_mst_video.py); this
+    is the app-layer wiring smoke."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps import stream
+
+    disps, waits = stream.run_mst(
+        "/root/reference/build", "/root/reference/cam_stereo_pheno.yml",
+        str(tmp_path), ids=(20, 40), scale=1 / 16.0, max_disp=16,
+        iterations=2, verbose=False, sgbm_seed=True, temporal_reseed=0,
+    )
+    assert disps.shape[0] == 2 and len(waits) == 2
+    assert np.isfinite(disps).all()
+    assert disps.max() <= 16.0 and disps.min() >= 0.0
