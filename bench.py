@@ -876,12 +876,66 @@ for on_tpu in (True, False):  # production pallas scans; xla fallback
                     "scan_backend": cfg.scan_backend,
                     "config": "1280x960x128 bf16 volume, device forest, "
                               "F=4/view mn=2 ci=1, disp2 right seed"})
+        # the compiler's own cost model for the whole frame program —
+        # an independent cross-check of the hand-derived analytic bytes
+        # the fps headline projects from
+        try:
+            ca = frame.lower(bl, br, jax.random.PRNGKey(0)).compile(
+                ).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+            out["xla_bytes_accessed_gb"] = round(gb, 2)
+            out["xla_gflops"] = round(float(ca.get("flops", 0.0)) / 1e9, 1)
+            if gb > 0:
+                out["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
+        except Exception as e:
+            out["xla_cost_analysis_error"] = str(e)[:120]
+
+        # VIDEO steady state: the refine-only frame program seeded by
+        # the frame just produced (models/sgbm_mst.py::
+        # _mst_refine_frame_fused) — a measured s/frame with NO SGBM
+        # pass, 2 truncated-ladder iterations/view (the GT-gated recipe)
+        try:
+            from stereomatch_tpu.models.sgbm_mst import (
+                _mst_refine_frame_fused)
+
+            @jax.jit
+            def vframe(bl, br, pdl, pdr, key):
+                vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
+                return _mst_refine_frame_fused(
+                    bl, br, vl, vr, pdl, pdr, key, cfg, 2, 4.0, 2, h, w,
+                    tmax, adj_cap)
+
+            t0 = time.time()
+            vdl, vdr = vframe(bl, br, dl, dr, jax.random.PRNGKey(2))
+            float(jnp.sum(vdl) + jnp.sum(vdr))
+            t1 = time.time()
+            vdl, vdr = vframe(bl, br, vdl, vdr, jax.random.PRNGKey(3))
+            float(jnp.sum(vdl) + jnp.sum(vdr))
+            t2 = time.time()
+            vid = {"compile_s": round(t1 - t0, 1),
+                   "s_per_frame": round(t2 - t1, 2)}
+            try:
+                ca = vframe.lower(bl, br, vdl, vdr, jax.random.PRNGKey(2)
+                    ).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+                vid["xla_bytes_accessed_gb"] = round(gb, 2)
+                if gb > 0:
+                    vid["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
+            except Exception:
+                pass
+            out["video_steady_state"] = vid
+        except Exception as e:
+            out["video_steady_state"] = {"error": str(e)[:160]}
         break
     except Exception as e:
         out[f"error_{cfg.scan_backend}"] = str(e)[:160]
 print(json.dumps(out))
 """
-    _subprocess_probe("sgbm_mst_fused_e2e", fused_code, 2400, extra)
+    _subprocess_probe("sgbm_mst_fused_e2e", fused_code, 3600, extra)
 
     # ---- Pallas SGBM backend: try-compile with timeout, small then
     # near-full size (960x1152; the tunnel's remote compiler handles
