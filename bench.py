@@ -1,26 +1,35 @@
 """Benchmark harness — prints ONE JSON line per driver contract.
 
 Headline metric (BASELINE.md north star): end-to-end frames/s at
-1280x960, 128 disparities, on the available chip (SGBM, the reference's
-namesake: prefilter -> BT cost -> 8-path aggregation -> WTA/uniqueness/
-subpixel/disp12). vs_baseline is fps / 30 (driver-set target).
+1280x960, 128 disparities (SGBM + seeded 3DMST, the production
+composition). vs_baseline is fps / 30 (driver-set target).
 
-The perf story is made MEASURABLE (VERDICT round-1 #3):
-  - analytic bytes-touched-per-frame and volume passes per engine, the
-    achieved GB/s they imply, and a roofline projection to real v5e HBM
-    bandwidth (819 GB/s) — because the tunneled bench chip moves ~6-19
-    GB/s (CLAUDE.md), absolute local ms is environmental;
-  - a bf16-cost SGBM number and a banded 2048x1536x256 number;
-  - a subprocess try-compile-with-timeout of the Pallas SGBM backend and
-    of 3DMST at 1280x960x128, recording ok/hang + ms instead of silently
-    skipping (the tunnel's remote compiler has hung on both).
+BUDGET DISCIPLINE (round-4 fix): round 3's bench was killed by the
+driver's timeout (BENCH_r03.json rc=124, parsed=null) because the probe
+list had grown past the wall-clock allowance — the round recorded NO
+headline at all.  This harness is therefore two-phase:
 
-Per-stage timings go to stderr (the reference's stage prints,
-src/PatchMatchStereoGPU.cu:8963-9215, reimagined); the JSON line carries
-the headline plus an "extra" dict with every secondary number.
+  Phase A (essentials, ~5-8 min): SGBM f32+bf16, the memory-system
+    microbench, and the 3DMST iteration probe — everything the headline
+    composition needs — then the headline JSON line is printed and
+    FLUSHED immediately.  Even if the driver kills the process later,
+    the headline is already in stdout.
+  Phase B (extras): every secondary probe, each gated on the remaining
+    wall-clock budget (env BENCH_BUDGET_S, default 1800 s) with its
+    subprocess timeout capped to what's left.  Probes that don't fit
+    record {"status": "skipped_budget"} instead of running.  The final
+    line re-prints the headline with the enriched "extra" dict.
+
+The perf story stays measurable (VERDICT round-1 #3): analytic
+bytes/frame + passes per engine, achieved GB/s, and v5e roofline
+projections (819 GB/s HBM) — the tunneled bench chip moves ~3-19 GB/s
+(CLAUDE.md), so absolute local ms is environmental.  Per-stage timings
+go to stderr (the reference's stage prints,
+src/PatchMatchStereoGPU.cu:8963-9215, reimagined).
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -28,6 +37,28 @@ import time
 import numpy as np
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, jax-ml.github.io/scaling-book
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+T_START = time.time()
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _budget_ok(tag, need, extra):
+    """Gate a probe on remaining budget; record the skip honestly."""
+    left = _remaining()
+    if left < need:
+        extra[tag] = {
+            "status": "skipped_budget",
+            "needed_s": need,
+            "remaining_s": round(left, 1),
+        }
+        print(f"{tag}: skipped (needs {need}s, {left:.0f}s left)",
+              file=sys.stderr)
+        return False
+    return True
 
 
 def _time_stepfn(step, args, iters, warmup=2):
@@ -39,9 +70,15 @@ def _time_stepfn(step, args, iters, warmup=2):
     return (time.time() - t0) / iters
 
 
-def _subprocess_probe(tag, code, timeout, extra, env=None):
-    """Run `code` in a child python with a timeout; record ok/hang + ms."""
-    import os
+def _subprocess_probe(tag, code, timeout, extra, env=None, min_s=120):
+    """Run `code` in a child python with a timeout; record ok/hang + ms.
+
+    The effective timeout is capped by the remaining global budget; if
+    fewer than `min_s` seconds remain the probe is skipped outright.
+    """
+    if not _budget_ok(tag, min_s, extra):
+        return
+    timeout = max(min_s, min(timeout, _remaining() - 20))
 
     t0 = time.time()
     try:
@@ -70,390 +107,12 @@ def _subprocess_probe(tag, code, timeout, extra, env=None):
         print(f"{tag}: HANG (>{timeout}s)", file=sys.stderr)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# Probe code strings (run in subprocesses so a tunnel-worker crash or a
+# remote-compiler hang cannot kill the bench process itself).
+# ---------------------------------------------------------------------------
 
-    from stereomatch_tpu.config import SGBMConfig, replace
-    from stereomatch_tpu.ops.sgbm import sgbm_disparity
-
-    h, w, d = 960, 1280, 128
-    rng = np.random.default_rng(0)
-    tex = rng.random((h, w + d)).astype(np.float32)
-    for _ in range(2):
-        tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, 1, 0)) / 3
-    tex = tex * 255
-    left = jnp.asarray(tex[:, :w])
-    right = jnp.asarray(tex[:, 40 : 40 + w])
-
-    cfg = SGBMConfig(min_disp=0, num_disp=d, block_size=5)
-    extra = {}
-
-    @jax.jit
-    def step(l, r):
-        out = sgbm_disparity(l, r, cfg)
-        # scalar summary: forces the whole pipeline but keeps the host
-        # transfer negligible (block_until_ready is unreliable through the
-        # tunnel, CLAUDE.md)
-        return jnp.sum(out.disparity)
-
-    print("compiling sgbm f32...", file=sys.stderr)
-    t0 = time.time()
-    float(step(left, right))
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
-    dt = _time_stepfn(step, (left, right), 5)
-    fps = 1.0 / dt
-    print(f"sgbm 1280x960x128: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
-
-    # ---- analytic roofline (volume = H*W*D elements; passes = full
-    # read-or-write traversals of a volume-sized array in the program:
-    # cost build 1W + block-sum cumsums ~4 + row scans down/up (2x R+W,
-    # flip-free via reverse scans) + E/W (1 transpose each way + 2 scans
-    # sharing the read ~4) + selection reductions (~2R) ~= 13 volume
-    # passes f32) ----
-    passes = 13
-    vol_bytes = h * w * d * 4
-    bytes_frame = passes * vol_bytes
-    gbps = bytes_frame / dt / 1e9
-    v5e_fps = V5E_HBM_GBPS * 1e9 / bytes_frame
-    extra["sgbm_f32"] = {
-        "ms": round(dt * 1e3, 1),
-        "passes": passes,
-        "gb_per_frame": round(bytes_frame / 1e9, 3),
-        "achieved_gbps": round(gbps, 2),
-        "v5e_roofline_fps": round(v5e_fps, 1),
-    }
-    print(
-        f"  analytic: {bytes_frame/1e9:.2f} GB/frame ({passes} volume "
-        f"passes) -> achieved {gbps:.1f} GB/s; v5e roofline {v5e_fps:.0f} fps",
-        file=sys.stderr,
-    )
-
-    # ---- bf16 SGBM ----
-    try:
-        cfg16 = replace(cfg, cost_dtype="bfloat16")
-
-        @jax.jit
-        def step16(l, r):
-            return jnp.sum(sgbm_disparity(l, r, cfg16).disparity)
-
-        float(step16(left, right))
-        dt16 = _time_stepfn(step16, (left, right), 5)
-        b16 = passes * h * w * d * 2
-        extra["sgbm_bf16"] = {
-            "ms": round(dt16 * 1e3, 1),
-            "gb_per_frame": round(b16 / 1e9, 3),
-            "achieved_gbps": round(b16 / dt16 / 1e9, 2),
-            "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / b16, 1),
-        }
-        print(f"sgbm bf16: {dt16*1e3:.1f} ms/frame", file=sys.stderr)
-    except Exception as e:
-        print(f"bf16 bench skipped: {e}", file=sys.stderr)
-
-    # ---- banded SGBM at the reference's NATIVE scale (2048x1536x256) ----
-    try:
-        from stereomatch_tpu.ops.sgbm import sgbm_disparity_banded
-
-        h2, w2, d2 = 1536, 2048, 256
-        tex2 = np.tile(tex, (2, 2))[:h2, : w2 + 64]
-        l2 = jnp.asarray(tex2[:, :w2])
-        r2 = jnp.asarray(tex2[:, 64 : 64 + w2])
-        cfg2k = SGBMConfig(min_disp=0, num_disp=d2, block_size=5,
-                           cost_dtype="bfloat16")
-
-        @jax.jit
-        def step2k(l, r):
-            return jnp.sum(sgbm_disparity_banded(l, r, cfg2k, 128).disparity)
-
-        print("compiling banded 2048x1536x256...", file=sys.stderr)
-        float(step2k(l2, r2))
-        dt2k = _time_stepfn(step2k, (l2, r2), 2, warmup=1)
-        b2k = passes * h2 * w2 * d2 * 2 * 1.5  # up-sweep re-runs band costs
-        extra["sgbm_banded_2048x1536x256_bf16"] = {
-            "ms": round(dt2k * 1e3, 1),
-            "fps": round(1.0 / dt2k, 2),
-            "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / b2k, 1),
-        }
-        print(f"banded 2048x1536x256 bf16: {dt2k*1e3:.1f} ms/frame", file=sys.stderr)
-    except Exception as e:
-        print(f"banded bench skipped: {e}", file=sys.stderr)
-
-    # ---- cost-volume pipeline (both views) ----
-    try:
-        from stereomatch_tpu.config import (
-            CostVolumeConfig,
-            CostVolumePipelineConfig,
-            GuidedFilterConfig,
-        )
-        from stereomatch_tpu.models import cost_volume_stereo
-
-        cfg2 = CostVolumePipelineConfig(
-            volume=CostVolumeConfig(min_disp=0, max_disp=127),
-            guided=GuidedFilterConfig(slab=16),
-        )
-        lb = jnp.stack([left] * 3, axis=-1)
-        rb = jnp.stack([right] * 3, axis=-1)
-
-        @jax.jit
-        def cv_step(l, r):
-            out = cost_volume_stereo(l, r, cfg2)
-            return jnp.sum(out.left_disp) + jnp.sum(out.right_disp)
-
-        float(cv_step(lb, rb))
-        dtc = _time_stepfn(cv_step, (lb, rb), 3, warmup=1)
-        # per view: cost 1W + guided filter ~8 (4 box-filter RW pairs on
-        # p/corr/a/b) + WTA ~2R = ~11 passes; x2 views
-        cpasses = 22
-        cb = cpasses * h * w * d * 4
-        extra["costvolume_pipeline"] = {
-            "ms": round(dtc * 1e3, 1),
-            "passes": cpasses,
-            "achieved_gbps": round(cb / dtc / 1e9, 2),
-            "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / cb, 1),
-        }
-        print(f"costvolume both views: {dtc*1e3:.1f} ms/frame", file=sys.stderr)
-    except Exception as e:
-        print(f"costvolume bench skipped: {e}", file=sys.stderr)
-
-    # ---- remaining engines: BM + census at headline size ----
-    try:
-        from stereomatch_tpu.config import BMConfig, CensusConfig
-        from stereomatch_tpu.ops.bm import bm_disparity
-        from stereomatch_tpu.ops.cost import census_stereo
-
-        bcfg = BMConfig(num_disp=d, block_size=9)
-
-        @jax.jit
-        def bm_step(l, r):
-            return jnp.sum(bm_disparity(l, r, bcfg).disparity)
-
-        float(bm_step(left, right))
-        dtb = _time_stepfn(bm_step, (left, right), 3, warmup=1)
-        extra["bm"] = {"ms": round(dtb * 1e3, 1)}
-        print(f"bm 1280x960x128: {dtb*1e3:.1f} ms/frame", file=sys.stderr)
-
-        ccfg = CensusConfig(d_max=50)
-        l01 = left * (1.0 / 255.0)
-        r01 = right * (1.0 / 255.0)
-
-        @jax.jit
-        def census_step(l, r):
-            return jnp.sum(census_stereo(l, r, ccfg))
-
-        float(census_step(l01, r01))
-        dtc2 = _time_stepfn(census_step, (l01, r01), 3, warmup=1)
-        extra["census"] = {"ms": round(dtc2 * 1e3, 1)}
-        print(f"census 1280x960x51: {dtc2*1e3:.1f} ms/frame", file=sys.stderr)
-    except Exception as e:
-        print(f"bm/census bench skipped: {e}", file=sys.stderr)
-
-    # ---- memory-system microbench: streaming vs gather GB/s on THIS chip
-    # (VERDICT r2 #2: ground the MST roofline — its Euler passes are
-    # gather-heavy, and nothing had measured the chip's actual gather
-    # bandwidth). Scalar-summary outputs keep tunnel D2H out of the
-    # timing. ----
-    try:
-        m_elems = 16 * 1024 * 1024
-        xm = jnp.asarray(np.random.default_rng(0).random(m_elems, np.float32))
-        stream_fn = jax.jit(lambda x: jnp.sum(x * 1.000001))
-        float(stream_fn(xm))
-        dtm = _time_stepfn(stream_fn, (xm,), 3, warmup=1)
-        stream_gbps = m_elems * 4 / dtm / 1e9
-        # gather CLASSES: the MST/PM index maps are not random — in_pos is
-        # monotone, parent/sub_end near-diagonal, label_cost a per-row
-        # column select — so measure each class this code actually emits
-        # and derate each engine by its own class, not the random worst
-        # case (the class mix per engine is in the analytic models).
-        grng = np.random.default_rng(1)
-        idx_classes = {
-            "random": grng.permutation(m_elems),
-            "monotone": np.sort(grng.integers(0, m_elems, m_elems)),
-            "local64": np.clip(
-                np.arange(m_elems) + grng.integers(-64, 65, m_elems),
-                0, m_elems - 1,
-            ),
-        }
-        gather_fn = jax.jit(lambda x, i: jnp.sum(x[i]))
-        mem = {"stream_read_gbps": round(stream_gbps, 2)}
-        for cname, idx_np in idx_classes.items():
-            idxm = jnp.asarray(idx_np.astype(np.int32))
-            float(gather_fn(xm, idxm))
-            dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
-            g = 2 * m_elems * 4 / dtg / 1e9
-            mem[f"gather_{cname}_gbps"] = round(g, 2)
-            mem[f"gather_{cname}_penalty"] = round(
-                stream_gbps / max(g, 1e-9), 1
-            )
-        mem["gather_penalty"] = mem["gather_random_penalty"]  # worst case
-        extra["memsys"] = mem
-        print(f"memsys: {mem}", file=sys.stderr)
-    except Exception as e:
-        print(f"memsys bench skipped: {e}", file=sys.stderr)
-
-    # ---- coupled engines (Family E alternations, dead in the reference,
-    # live here): the non-window AL-TGV<->coupled-WTA branch at a bounded
-    # size (the window branch crashes the tunnel worker like PatchMatch)
-    try:
-        from stereomatch_tpu.config import CoupledConfig
-        from stereomatch_tpu.models.coupled import coupled_wta_stereo
-
-        hc, wc, dc = 480, 640, 64
-        volc = jnp.asarray(
-            (np.random.default_rng(0).random((hc, wc, dc)) * 0.5).astype(
-                np.float32
-            )
-        )
-        gug = jnp.asarray(tex[:hc, :wc])
-        ccfg = CoupledConfig(max_disp=dc - 1, outer_iterations=5, smooth_iters=10)
-
-        @jax.jit
-        def coupled_step(v, g):
-            return jnp.sum(coupled_wta_stereo(v, g, ccfg).disparity)
-
-        float(coupled_step(volc, gug))
-        dtc2 = _time_stepfn(coupled_step, (volc, gug), 3, warmup=1)
-        extra["coupled_wta_480x640x64"] = {"ms": round(dtc2 * 1e3, 1)}
-        print(f"coupled_wta 480x640x64: {dtc2*1e3:.1f} ms", file=sys.stderr)
-    except Exception as e:
-        print(f"coupled bench skipped: {e}", file=sys.stderr)
-
-    # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
-    # The tunnel worker CRASHES on this program above ~384x288 (recorded
-    # honestly below; isolated in a subprocess so the bench survives) ----
-    pm_code = r"""
-import time, json
-import numpy as np, jax, jax.numpy as jnp
-from stereomatch_tpu.config import PatchMatchConfig
-from stereomatch_tpu.ops.patchmatch import patchmatch_stereo
-h, w = 288, 384
-rng = np.random.default_rng(0)
-tex = (rng.random((h, w + 64, 3)) * 255).astype(np.float32)
-left = jax.block_until_ready(jnp.asarray(tex[:, :w]))
-right = jax.block_until_ready(jnp.asarray(tex[:, 40:40+w]))
-cfg = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5)
-t0 = time.time()
-l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfg)
-float(jnp.sum(l.d)); t1 = time.time()
-l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfg)
-float(jnp.sum(l.d)); t2 = time.time()
-# analytic bytes/iteration (both views): 18 candidates (8 spatial + 1
-# view + 9 annealed refinements) x 49 taps (35-window, stride 5), each
-# tap ~12 streamed HxW f32 arrays + one coalesced 2x5-channel match
-# gather (10 lookups/px)
-taps, cands = 49, 18
-stream_gb = 2 * cands * taps * 12 * h * w * 4 / 1e9
-gather_gb = 2 * cands * taps * 10 * h * w * 4 / 1e9
-dt_iter = (t2 - t1) / cfg.iterations
-out = {"compile_s": round(t1 - t0, 1),
-       "ms_per_iteration_384x288": round(dt_iter * 1e3, 1),
-       "analytic_stream_gb_per_iteration": round(stream_gb, 2),
-       "analytic_gather_gb_per_iteration": round(gather_gb, 2),
-       "v5e_s_per_iteration_optimistic":
-           round((stream_gb + gather_gb) / 819.0, 4)}
-# bf16 feature maps halve the streamed+gathered bytes (GT-battery-gated,
-# tests/test_gt_battery.py::test_patchmatch_bf16_features_absolute_gt)
-try:
-    cfgb = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5,
-                            feature_dtype="bfloat16")
-    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfgb)
-    float(jnp.sum(l16.d)); tb1 = time.time()
-    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfgb)
-    float(jnp.sum(l16.d)); tb2 = time.time()
-    out["ms_per_iteration_384x288_bf16"] = round(
-        (tb2 - tb1) * 1e3 / cfgb.iterations, 1)
-    out["v5e_s_per_iteration_bf16_optimistic"] = round(
-        (stream_gb + gather_gb) / 2 / 819.0, 4)
-except Exception as e:
-    out["bf16_error"] = str(e)[:120]
-# headline size: the coalesced 5-channel tap gather removed the round-2
-# program-shape crash (28.2 s/iter at 1280x960 measured then), but the
-# tunnel worker still dies TRANSIENTLY on the big program some days —
-# walk down from full size so a largest-working number always lands
-for h2, w2 in ((960, 1280), (480, 640)):
-    try:
-        tex2 = (rng.random((h2, w2 + 64, 3)) * 255).astype(np.float32)
-        l2 = jax.block_until_ready(jnp.asarray(tex2[:, :w2]))
-        r2 = jax.block_until_ready(jnp.asarray(tex2[:, 40:40+w2]))
-        cfg2 = PatchMatchConfig(max_disp=60.0, iterations=2, tap_stride=5)
-        t0 = time.time()
-        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), l2, r2, cfg2)
-        float(jnp.sum(l.d)); t1 = time.time()
-        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), l2, r2, cfg2)
-        float(jnp.sum(l.d)); t2 = time.time()
-        out[f"ms_per_iteration_{w2}x{h2}"] = round((t2 - t1) * 1e3 / 2, 1)
-        out["large_size_compile_s"] = round(t1 - t0, 1)
-        break
-    except Exception as e:
-        out[f"size_{w2}x{h2}_error"] = str(e)[:120]
-print(json.dumps(out))
-"""
-    _subprocess_probe("patchmatch", pm_code, 1500, extra)
-
-    # ---- host forest builder at native scale (VERDICT weak #4) ----
-    try:
-        from stereomatch_tpu.native import build_forest
-
-        h3, w3 = 1536, 2048
-        img3 = (np.tile(tex, (2, 2))[:h3, :w3]).astype(np.float32)
-        wr3 = np.abs(img3[:, 1:] - img3[:, :-1])
-        wd3 = np.abs(img3[1:] - img3[:-1])
-        t0 = time.time()
-        f3 = build_forest(wr3, wd3, 5000.0, 200, 1 / 12.0, 4.0)
-        tb = time.time() - t0
-        extra["treebuild_2048x1536"] = {
-            "ms": round(tb * 1e3, 1), "trees": f3.num_trees,
-        }
-        print(f"treebuild 2048x1536: {tb*1e3:.0f} ms, {f3.num_trees} trees",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"treebuild bench skipped: {e}", file=sys.stderr)
-
-    # ---- on-device forest builder (ops/device_forest.py): the host-free
-    # alternative to treebuild — segmentation + Boruvka MST + Euler
-    # numbering as one jitted program. Subprocess-guarded: the program is
-    # sort/Wyllie-heavy and large for the tunnel's remote compiler.
-    # Timings here are tunnel-environmental (random-class gathers run at
-    # ~0.5 GB/s on this link, memsys); the entry records measured ms +
-    # the structural note that the build is sort+pointer-jump bound
-    # (~log2 N passes over 2E arcs), not volume bound. ----
-    fd_code = r"""
-import time, json
-import numpy as np, jax, jax.numpy as jnp
-from stereomatch_tpu.ops.device_forest import build_forest_device
-out = {}
-rng = np.random.default_rng(0)
-for tag, (h, w) in (("480x640", (480, 640)), ("960x1280", (960, 1280))):
-    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
-    for _ in range(3):
-        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
-    wr = jax.block_until_ready(jnp.asarray(np.abs(img[:, 1:] - img[:, :-1]).sum(-1)))
-    wd = jax.block_until_ready(jnp.asarray(np.abs(img[1:] - img[:-1]).sum(-1)))
-    tmax = 1 << int(np.ceil(np.log2(max(256, 4 * h * w // 200))))
-    try:
-        t0 = time.time()
-        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
-        float(jnp.sum(raw["rel_gd"]))  # jitted scalar force (CLAUDE.md)
-        t1 = time.time()
-        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
-        float(jnp.sum(raw["rel_gd"]))
-        t2 = time.time()
-        out[tag] = {"status": "ok", "compile_s": round(t1 - t0, 1),
-                    "ms": round((t2 - t1) * 1e3, 1),
-                    "trees": int(raw["num_trees_actual"])}
-    except Exception as e:
-        out[tag] = {"status": "error", "error": str(e)[:140]}
-print(json.dumps(out))
-"""
-    _subprocess_probe("forest_device", fd_code, 1800, extra)
-
-    # ---- 3DMST at 1280x960x128: subprocess with timeout (the tunnel's
-    # remote compiler has hung on volume-scale MST; record it).
-    # Round-3 scan structure (ops/mst.py): per candidate per tree_filter,
-    # (1+carry_iters) N-length preorder up-scans + (1+carry_iters)
-    # 2N-length Euler down-scans, each ONE matmul pass (read+write+
-    # correction ~5 M-traversals) instead of log-depth combines; plus
-    # label_cost volume gathers (bf16 option halves those bytes). ----
-    mst_code = r"""
+MST_CODE = r"""
 import time, json
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.native import build_forest, color_edge_weights
@@ -473,7 +132,10 @@ fa = forest_arrays(f)
 vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32))
 jax.block_until_ready(vol)
 out = {}
-for be in ("xla", "pallas"):
+# pallas-first with xla fallback: compiling BOTH backends costs a full
+# extra remote compile (~35 s) the budget can't spare; analytics for
+# both are computed below regardless
+for be in ("pallas", "xla"):
     cfg = MSTConfig(max_disp=d, volume_dtype="bfloat16", scan_backend=be)
     try:
         t0 = time.time()
@@ -493,6 +155,7 @@ for be in ("xla", "pallas"):
         t2 = time.time()
         out[f"compile_s_{be}"] = round(t1 - t0, 1)
         out[f"ms_per_iteration_{be}"] = round((t2 - t1) * 1e3, 1)
+        break
     except Exception as e:
         out[f"error_{be}"] = str(e)[:160]
 # per-iteration candidate counts: full annealed ladder vs the SEEDED
@@ -524,7 +187,7 @@ try:
 except Exception as e:
     out["error_seeded"] = str(e)[:160]
 n = h * w
-ci = cfg.carry_iters
+ci = 2  # MSTConfig default carry_iters
 # streamed bytes per scan traversal of the event array: the XLA blocked
 # scan re-materializes raw prefixes + corrections + carries (~5
 # traversals); the Pallas kernel (ops/mst_scan_pallas.py) keeps those in
@@ -564,277 +227,8 @@ if out.get("ms_per_iteration"):
     out["achieved_gbps"] = round(gb_iter / (out["ms_per_iteration"] / 1e3), 2)
 print(json.dumps(out))
 """
-    _subprocess_probe("mst_1280x960x128", mst_code, 2400, extra)
 
-    # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
-    # seeded-ladder configuration, ONE iteration, candidate-chunked —
-    # proves the volume-scale program compiles and runs on-chip (bf16
-    # volume 1.6 GB resident + node-order copy) and records the measured
-    # native-scale iteration time. ----
-    mst_native_code = r"""
-import time, json
-import numpy as np, jax, jax.numpy as jnp
-from stereomatch_tpu.native import build_forest, color_edge_weights
-from stereomatch_tpu.ops.mst import forest_arrays, mst_pms_optimize
-from stereomatch_tpu.config import MSTConfig
-h, w, d = 1536, 2048, 256
-rng = np.random.default_rng(0)
-img = (rng.random((h, w, 3)) * 255).astype(np.float32)
-for _ in range(3):
-    img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
-wr, wd = color_edge_weights(img)
-t0 = time.time()
-f = build_forest(wr, wd, 5000.0, 200, 1/12.0, 4.0)
-fa = forest_arrays(f)
-tb = time.time() - t0
-vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32),
-                  dtype=jnp.bfloat16)  # host-cast: upload 1.6 GB not 3.2
-jax.block_until_ready(vol)
-out = {"treebuild_s": round(tb, 1)}
-from stereomatch_tpu.config import production_mst_config
-for on_tpu in (True, False):  # pallas scans first, xla fallback
-    cfg = production_mst_config(d, on_tpu=on_tpu)
-    try:
-        t0 = time.time()
-        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfg,
-                                       max_neighbors=2, iterations=1,
-                                       candidate_chunk=2, refine_start=2.0)
-        float(jnp.sum(mc))
-        t1 = time.time()
-        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfg,
-                                       max_neighbors=2, iterations=1,
-                                       candidate_chunk=2, refine_start=2.0)
-        float(jnp.sum(mc))
-        out["compile_s"] = round(t1 - t0, 1)
-        out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
-        out["scan_backend"] = cfg.scan_backend
-        break
-    except Exception as e:
-        out[f"error_{cfg.scan_backend}"] = str(e)[:160]
-print(json.dumps(out))
-"""
-    _subprocess_probe("mst_native_2048x1536x256", mst_native_code, 2400, extra)
-
-    # ---- mst_e2e + sgbm_plus_mst: the north-star composition (VERDICT
-    # r2 #1c). Iteration budget from the measured quality-vs-work curve
-    # (PARITY.md): c2f k=2, 30 coarse + 10 fine ~= flat-100 quality.
-    # Coarse iterations cost ~1/4 of fine (N/4 nodes dominate the scan
-    # bytes). v5e projection brackets the gather derate: optimistic
-    # (gathers at full HBM bw) and derated (gathers at the penalty this
-    # very chip measured). ----
-    try:
-        mst = extra.get("mst_1280x960x128", {})
-        mem = extra.get("memsys", {})
-        if mst.get("status") == "ok" and mst.get("ms_per_iteration"):
-            equiv_iters = 30 / 4.0 + 10.0  # c2f budget in full-iteration units
-            sgb = mst.get("analytic_stream_gb_per_iteration", 0.0)
-            # derate each gather class by ITS measured penalty on this
-            # chip (memsys): the MST gathers are local (near-diagonal
-            # sub_end / DFS-order euler_src / node-order label_cost rows)
-            # and monotone (in_pos), not random
-            g_loc = mst.get("analytic_gather_local_gb_per_iteration", 0.0)
-            g_mon = mst.get("analytic_gather_monotone_gb_per_iteration", 0.0)
-            ggb = g_loc + g_mon
-            pen_loc = mem.get("gather_local64_penalty",
-                              mem.get("gather_penalty", 1.0))
-            pen_mon = mem.get("gather_monotone_penalty",
-                              mem.get("gather_penalty", 1.0))
-            t_iter_opt = (sgb + ggb) / V5E_HBM_GBPS
-            t_iter_der = (
-                sgb + g_loc * pen_loc + g_mon * pen_mon
-            ) / V5E_HBM_GBPS
-            mst_s_opt = 2 * equiv_iters * t_iter_opt  # both views
-            mst_s_der = 2 * equiv_iters * t_iter_der
-            t_sgbm = 1.0 / extra["sgbm_bf16"]["v5e_roofline_fps"]
-            fps_opt = 1.0 / (t_sgbm + mst_s_opt)
-            fps_der = 1.0 / (t_sgbm + mst_s_der)
-            local_s = (
-                2 * equiv_iters * mst["ms_per_iteration"] / 1e3
-                + 1.0 / fps
-            )
-            extra["sgbm_plus_mst"] = {
-                "equiv_iterations_per_view": equiv_iters,
-                "v5e_fps_optimistic": round(fps_opt, 1),
-                "v5e_fps_gather_derated": round(fps_der, 2),
-                "local_tunnel_s_per_frame": round(local_s, 1),
-                "note": "c2f 30/10 budget from PARITY.md curve; derated "
-                "uses this chip's measured gather penalty as the bound",
-            }
-            print(
-                f"sgbm_plus_mst: v5e fps {fps_der:.1f} (derated) .. "
-                f"{fps_opt:.1f} (optimistic); local {local_s:.1f} s/frame",
-                file=sys.stderr,
-            )
-
-            # ---- SEEDED composition (models/sgbm_mst.py): ONE SGBM pass
-            # seeds BOTH views — the right map is the disp2 min-cost
-            # projection the disp12 check builds anyway
-            # (right_seed="disp2", GT-gated) — then label optimization is
-            # F=4 truncated-ladder iterations (K_seeded candidates
-            # instead of K_full — bytes scale with K) plus one
-            # aggregation pass for the seed's true cost. Quality: better
-            # than flat-30 on the GT battery at this very budget
-            # (tests/test_mst_seeded.py, PARITY.md). ----
-            kf, ks = mst.get("k_full"), mst.get("k_seeded")
-            if kf and ks:
-                f_fine = 4.0
-                # production seeded analytics from the probe (K_seeded
-                # candidates, carry_iters=1, the scan backend that ran) —
-                # not the full-config numbers rescaled
-                s_st = mst.get("analytic_stream_gb_per_iteration_seeded")
-                s_gl = mst.get(
-                    "analytic_gather_local_gb_per_iteration_seeded", 0.0
-                )
-                s_gm = mst.get(
-                    "analytic_gather_monotone_gb_per_iteration_seeded", 0.0
-                )
-                if s_st is None:  # old probe fallback: rescale by K
-                    s_st = sgb * ks / kf
-                    s_gl, s_gm = g_loc * ks / kf, g_mon * ks / kf
-                t_it_opt_s = (s_st + s_gl + s_gm) / V5E_HBM_GBPS
-                t_it_der_s = (
-                    s_st + s_gl * pen_loc + s_gm * pen_mon
-                ) / V5E_HBM_GBPS
-                # per view: F fine iterations + the seed's own cost pass
-                # (one tree_filter + label_cost ~= 1/K_seeded iterations)
-                n_eq = f_fine + 1.0 / ks
-                mst_s_opt_s = 2 * n_eq * t_it_opt_s
-                mst_s_der_s = 2 * n_eq * t_it_der_s
-                fps_opt_s = 1.0 / (t_sgbm + mst_s_opt_s)
-                fps_der_s = 1.0 / (t_sgbm + mst_s_der_s)
-                ms_it_seed = mst.get(
-                    "ms_per_iteration_seeded",
-                    mst["ms_per_iteration"] * ks / kf,
-                )
-                local_s_s = 2 * n_eq * ms_it_seed / 1e3 + 1.0 / fps
-                extra["sgbm_plus_mst_seeded"] = {
-                    "fine_iterations_per_view": f_fine,
-                    "k_seeded": ks,
-                    "ci_seeded": mst.get("ci_seeded", 2),
-                    "analytic_gb_per_seeded_iteration": round(
-                        s_st + s_gl + s_gm, 2
-                    ),
-                    "v5e_fps_optimistic": round(fps_opt_s, 1),
-                    "v5e_fps_gather_derated": round(fps_der_s, 2),
-                    "v5e_fps_derated_mirror_right_seed": round(
-                        1.0 / (2 * t_sgbm + mst_s_der_s), 2
-                    ),
-                    "local_tunnel_s_per_frame": round(local_s_s, 1),
-                    "note": "one SGBM (disp2 seeds the right view free) "
-                    "+ plane-fit seed + F=4 truncated-ladder MST at the "
-                    "production config (max_neighbors=2, carry_iters=1, "
-                    "bf16 volume, pallas scans) — every choice GT-gated "
-                    "(tests/test_mst_seeded.py, PARITY.md)",
-                }
-                print(
-                    f"sgbm_plus_mst_seeded: v5e fps {fps_der_s:.1f} "
-                    f"(derated) .. {fps_opt_s:.1f} (optimistic); local "
-                    f"{local_s_s:.1f} s/frame",
-                    file=sys.stderr,
-                )
-
-                # ---- VIDEO mode (temporal seeding, round 3): the
-                # previous frame's refined maps seed the labels, so the
-                # steady-state frame drops the SGBM pass entirely; SGBM
-                # runs only on keyframes (models/sgbm_mst.py::
-                # sgbm_mst_video + serving.compile_mst_video_server,
-                # GT-sequence-gated in tests/test_mst_video.py). ----
-                ti_video = 2.0  # measured recipe: ti=2 BEATS ti=4 on the
-                # GT sequence (tests/test_mst_video.py) — a one-frame-
-                # stale seed needs less polish than a fresh SGBM seed
-                n_eq_v = ti_video + 1.0 / ks
-                mst_s_der_v = 2 * n_eq_v * t_it_der_s
-                extra["sgbm_plus_mst_video"] = {
-                    "temporal_iterations_per_view": ti_video,
-                    "v5e_fps_derated_steady_state": round(
-                        1.0 / mst_s_der_v, 2
-                    ),
-                    "v5e_fps_derated_reseed_every_30": round(
-                        1.0 / (mst_s_der_v + t_sgbm / 30.0), 2
-                    ),
-                    "note": "temporal seeding: frame N's refined maps "
-                    "seed frame N+1's plane labels on device — the "
-                    "steady-state video frame is refine-only (no SGBM, "
-                    "2 iterations/view); keyframe cadence amortizes the "
-                    "reseed (GT-sequence-gated, tests/test_mst_video.py)",
-                }
-                print(
-                    "sgbm_plus_mst_video: v5e fps "
-                    f"{1.0 / mst_s_der_v:.1f} (steady-state, derated)",
-                    file=sys.stderr,
-                )
-
-                # ---- scaling: fps/chip efficiency at N chips (BASELINE
-                # "Scaling" row). Real multi-chip hardware is absent in
-                # this environment (one tunneled chip), so the N>1
-                # numbers are the analytic model of the two sharding
-                # modes the repo implements and parity-tests on the
-                # virtual CPU mesh (MULTICHIP json validates they
-                # compile+run):
-                #
-                # (a) throughput mode — data-parallel frames over a
-                #     (frame,) mesh (apps/stream.py, parallel/multihost).
-                #     Frames are independent: zero inter-chip bytes, so
-                #     fps/chip efficiency is 1.0 by construction; across
-                #     hosts the same holds on DCN (each host feeds its
-                #     own chips). This is the production serving answer.
-                #
-                # (b) latency mode — ONE frame sharded over N chips:
-                #     tiled SGBM (halo rows, negligible) + node-sharded
-                #     MST (parallel/mst_mesh.py::mst_pms_optimize_mesh_
-                #     sharded): per-chip HBM bytes fall as 1/N; each
-                #     candidate batch all_gathers the (H*W,)-f32 per-node
-                #     aggregate, so each chip RECEIVES
-                #     K * H*W * 4 * (N-1)/N bytes per iteration over ICI.
-                #     ICI constant below is the public scaling-book
-                #     order of magnitude for v5e (2D torus); the entry
-                #     reports the raw collective bytes too so the
-                #     efficiency can be re-derived under any ICI figure.
-                V5E_ICI_GBPS = 90.0  # ~45 GB/s/dir/axis x 2 axes, approx
-                hbm_gb_frame = 2 * n_eq * (
-                    s_st + s_gl * pen_loc + s_gm * pen_mon
-                ) + t_sgbm * V5E_HBM_GBPS
-                nn = 1280 * 960
-                ici_gb_frame = 2 * n_eq * ks * nn * 4 / 1e9  # x (N-1)/N
-                lat = {}
-                for nch in (1, 2, 4, 8):
-                    t_hbm = hbm_gb_frame / nch / V5E_HBM_GBPS
-                    t_ici = ici_gb_frame * (nch - 1) / nch / V5E_ICI_GBPS
-                    t_n = max(t_hbm, t_ici)  # collectives overlap compute
-                    eff = (hbm_gb_frame / V5E_HBM_GBPS) / (nch * t_n)
-                    lat[f"n{nch}"] = {
-                        "fps": round(1.0 / t_n, 1),
-                        "fps_per_chip_efficiency": round(eff, 2),
-                    }
-                extra["scaling"] = {
-                    "throughput_mode": {
-                        "scheme": "data-parallel frames, (frame,) mesh",
-                        "inter_chip_bytes_per_frame": 0,
-                        "fps_per_chip_efficiency": 1.0,
-                        "hosts": "same on DCN: frames never cross hosts",
-                    },
-                    "latency_mode_single_frame": {
-                        "scheme": "tiled SGBM + node-sharded MST "
-                        "(all_gather per candidate batch)",
-                        "hbm_gb_per_frame": round(hbm_gb_frame, 2),
-                        "ici_gb_per_frame_received": round(ici_gb_frame, 2),
-                        "assumed_ici_gbps": V5E_ICI_GBPS,
-                        **lat,
-                    },
-                    "note": "N>1 is the analytic model of the sharding "
-                    "modes parity-tested on the virtual CPU mesh; no "
-                    "multi-chip hardware exists in this environment",
-                }
-    except Exception as e:
-        print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
-
-    # ---- fused SGBM+3DMST e2e: the whole north-star composition as ONE
-    # XLA program on the chip — on-device adgrad+guided volume build,
-    # SGBM seed (disp2 right view), on-device forest, F=4 truncated-
-    # ladder MST for BOTH views. A single measured s/frame, nothing
-    # composed from parts (models/sgbm_mst.py::sgbm_mst_stereo_fused's
-    # inner frame program). ----
-    fused_code = r"""
+FUSED_CODE = r"""
 import time, json
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.config import production_mst_config
@@ -848,10 +242,18 @@ img_l = (rng.random((h, w, 3)) * 255).astype(np.float32)
 for _ in range(3):
     img_l = (img_l + np.roll(img_l, 1, 0) + np.roll(img_l, 1, 1)) / 3
 img_r = np.roll(img_l, -7, axis=1)  # timing-only synthetic pair
-bl, br = jnp.asarray(img_l), jnp.asarray(img_r)
-jax.block_until_ready(br)
 out = {}
-for on_tpu in (True, False):  # production pallas scans; xla fallback
+# attempt ladder: (scan backend, frame size). The tunnel worker crashes
+# TRANSIENTLY on the full-size fused program some days (like the PM
+# probe); after a crash the worker needs ~15 s to restart, and a
+# half-size fallback still lands a measured fused number.
+attempts = [(True, 960, 1280), (False, 960, 1280), (True, 480, 640)]
+for ai, (on_tpu, h, w) in enumerate(attempts):
+    if ai:
+        time.sleep(15)  # let a crashed tunnel worker restart
+    bl = jnp.asarray(img_l[:h, :w])
+    br = jnp.asarray(img_r[:h, :w])
+    jax.block_until_ready(br)
     cfg = production_mst_config(d, on_tpu=on_tpu, forest_backend="device")
     scfg = _default_sgbm_cfg(cfg)
     tmax, adj_cap = _fused_capacities(h, w, cfg)
@@ -874,7 +276,7 @@ for on_tpu in (True, False):  # production pallas scans; xla fallback
         out.update({"compile_s": round(t1 - t0, 1),
                     "s_per_frame": round(t2 - t1, 2),
                     "scan_backend": cfg.scan_backend,
-                    "config": "1280x960x128 bf16 volume, device forest, "
+                    "config": f"{w}x{h}x{d} bf16 volume, device forest, "
                               "F=4/view mn=2 ci=1, disp2 right seed"})
         # the compiler's own cost model for the whole frame program —
         # an independent cross-check of the hand-derived analytic bytes
@@ -932,16 +334,153 @@ for on_tpu in (True, False):  # production pallas scans; xla fallback
             out["video_steady_state"] = {"error": str(e)[:160]}
         break
     except Exception as e:
+        out[f"error_{cfg.scan_backend}_{w}x{h}"] = str(e)[:160]
+print(json.dumps(out))
+"""
+
+PM_CODE = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.config import PatchMatchConfig
+from stereomatch_tpu.ops.patchmatch import patchmatch_stereo
+h, w = 288, 384
+rng = np.random.default_rng(0)
+tex = (rng.random((h, w + 64, 3)) * 255).astype(np.float32)
+left = jax.block_until_ready(jnp.asarray(tex[:, :w]))
+right = jax.block_until_ready(jnp.asarray(tex[:, 40:40+w]))
+cfg = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5)
+t0 = time.time()
+l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfg)
+float(jnp.sum(l.d)); t1 = time.time()
+l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfg)
+float(jnp.sum(l.d)); t2 = time.time()
+# analytic bytes/iteration (both views): 18 candidates (8 spatial + 1
+# view + 9 annealed refinements) x 49 taps (35-window, stride 5), each
+# tap ~12 streamed HxW f32 arrays + one coalesced 2x5-channel match
+# gather (10 lookups/px)
+taps, cands = 49, 18
+stream_gb = 2 * cands * taps * 12 * h * w * 4 / 1e9
+gather_gb = 2 * cands * taps * 10 * h * w * 4 / 1e9
+dt_iter = (t2 - t1) / cfg.iterations
+out = {"compile_s": round(t1 - t0, 1),
+       "ms_per_iteration_384x288": round(dt_iter * 1e3, 1),
+       "analytic_stream_gb_per_iteration": round(stream_gb, 2),
+       "analytic_gather_gb_per_iteration": round(gather_gb, 2),
+       "v5e_s_per_iteration_optimistic":
+           round((stream_gb + gather_gb) / 819.0, 4)}
+# bf16 feature maps halve the streamed+gathered bytes (GT-battery-gated,
+# tests/test_gt_battery.py::test_patchmatch_bf16_features_absolute_gt)
+try:
+    cfgb = PatchMatchConfig(max_disp=60.0, iterations=10, tap_stride=5,
+                            feature_dtype="bfloat16")
+    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(0), left, right, cfgb)
+    float(jnp.sum(l16.d)); tb1 = time.time()
+    l16, r16, _, _ = patchmatch_stereo(jax.random.PRNGKey(1), left, right, cfgb)
+    float(jnp.sum(l16.d)); tb2 = time.time()
+    out["ms_per_iteration_384x288_bf16"] = round(
+        (tb2 - tb1) * 1e3 / cfgb.iterations, 1)
+    out["v5e_s_per_iteration_bf16_optimistic"] = round(
+        (stream_gb + gather_gb) / 2 / 819.0, 4)
+except Exception as e:
+    out["bf16_error"] = str(e)[:120]
+# headline size: the coalesced 5-channel tap gather removed the round-2
+# program-shape crash (28.2 s/iter at 1280x960 measured then), but the
+# tunnel worker still dies TRANSIENTLY on the big program some days —
+# walk down from full size so a largest-working number always lands
+for ai, (h2, w2) in enumerate(((960, 1280), (480, 640))):
+    try:
+        if ai:
+            time.sleep(15)  # let a crashed tunnel worker restart
+        tex2 = (rng.random((h2, w2 + 64, 3)) * 255).astype(np.float32)
+        l2 = jax.block_until_ready(jnp.asarray(tex2[:, :w2]))
+        r2 = jax.block_until_ready(jnp.asarray(tex2[:, 40:40+w2]))
+        cfg2 = PatchMatchConfig(max_disp=60.0, iterations=2, tap_stride=5)
+        t0 = time.time()
+        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(0), l2, r2, cfg2)
+        float(jnp.sum(l.d)); t1 = time.time()
+        l, r, cl, cr = patchmatch_stereo(jax.random.PRNGKey(1), l2, r2, cfg2)
+        float(jnp.sum(l.d)); t2 = time.time()
+        out[f"ms_per_iteration_{w2}x{h2}"] = round((t2 - t1) * 1e3 / 2, 1)
+        out["large_size_compile_s"] = round(t1 - t0, 1)
+        break
+    except Exception as e:
+        out[f"size_{w2}x{h2}_error"] = str(e)[:120]
+print(json.dumps(out))
+"""
+
+FOREST_DEVICE_CODE = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.ops.device_forest import build_forest_device
+out = {}
+rng = np.random.default_rng(0)
+for tag, (h, w) in (("480x640", (480, 640)), ("960x1280", (960, 1280))):
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    for _ in range(3):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+    wr = jax.block_until_ready(jnp.asarray(np.abs(img[:, 1:] - img[:, :-1]).sum(-1)))
+    wd = jax.block_until_ready(jnp.asarray(np.abs(img[1:] - img[:-1]).sum(-1)))
+    tmax = 1 << int(np.ceil(np.log2(max(256, 4 * h * w // 200))))
+    try:
+        t0 = time.time()
+        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
+        float(jnp.sum(raw["rel_gd"]))  # jitted scalar force (CLAUDE.md)
+        t1 = time.time()
+        raw = build_forest_device(wr, wd, tmax=tmax, adj_cap=8 * tmax)
+        float(jnp.sum(raw["rel_gd"]))
+        t2 = time.time()
+        out[tag] = {"status": "ok", "compile_s": round(t1 - t0, 1),
+                    "ms": round((t2 - t1) * 1e3, 1),
+                    "trees": int(raw["num_trees_actual"])}
+    except Exception as e:
+        out[tag] = {"status": "error", "error": str(e)[:140]}
+print(json.dumps(out))
+"""
+
+MST_NATIVE_CODE = r"""
+import time, json
+import numpy as np, jax, jax.numpy as jnp
+from stereomatch_tpu.native import build_forest, color_edge_weights
+from stereomatch_tpu.ops.mst import forest_arrays, mst_pms_optimize
+from stereomatch_tpu.config import MSTConfig
+h, w, d = 1536, 2048, 256
+rng = np.random.default_rng(0)
+img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+for _ in range(3):
+    img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+wr, wd = color_edge_weights(img)
+t0 = time.time()
+f = build_forest(wr, wd, 5000.0, 200, 1/12.0, 4.0)
+fa = forest_arrays(f)
+tb = time.time() - t0
+vol = jnp.asarray((rng.random((h, w, d)) * 0.5).astype(np.float32),
+                  dtype=jnp.bfloat16)  # host-cast: upload 1.6 GB not 3.2
+jax.block_until_ready(vol)
+out = {"treebuild_s": round(tb, 1)}
+from stereomatch_tpu.config import production_mst_config
+for on_tpu in (True, False):  # pallas scans first, xla fallback
+    cfg = production_mst_config(d, on_tpu=on_tpu)
+    try:
+        t0 = time.time()
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(0), vol, fa, cfg,
+                                       max_neighbors=2, iterations=1,
+                                       candidate_chunk=2, refine_start=2.0)
+        float(jnp.sum(mc))
+        t1 = time.time()
+        a, b, c, mc = mst_pms_optimize(jax.random.PRNGKey(1), vol, fa, cfg,
+                                       max_neighbors=2, iterations=1,
+                                       candidate_chunk=2, refine_start=2.0)
+        float(jnp.sum(mc))
+        out["compile_s"] = round(t1 - t0, 1)
+        out["ms_per_seeded_iteration"] = round((time.time() - t1) * 1e3, 1)
+        out["scan_backend"] = cfg.scan_backend
+        break
+    except Exception as e:
         out[f"error_{cfg.scan_backend}"] = str(e)[:160]
 print(json.dumps(out))
 """
-    _subprocess_probe("sgbm_mst_fused_e2e", fused_code, 3600, extra)
 
-    # ---- Pallas SGBM backend: try-compile with timeout, small then
-    # near-full size (960x1152; the tunnel's remote compiler handles
-    # <=512-row shapes but has returned HTTP 500 above — record whatever
-    # happens) ----
-    pallas_code = r"""
+PALLAS_SGBM_CODE = r"""
 import time, json, re
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.ops.sgbm_pallas import aggregate_8path_pallas
@@ -968,46 +507,579 @@ for tag, (h, w, d), kw in (
         out[tag] = {"status": "error", "error": msg[:120]}
 print(json.dumps(out))
 """
-    _subprocess_probe("pallas_sgbm", pallas_code, 900, extra)
 
-    # headline: the BASELINE north star is end-to-end SGBM+3DMST fps.
-    # Local tunnel timings are environmental (CLAUDE.md), so the headline
-    # is the analytic v5e projection with gathers DERATED by this chip's
-    # own measured gather/stream penalty (the conservative end of the
-    # bracket); the optimistic bound and every measured number ride in
-    # "extra". Falls back to measured SGBM-only fps if the MST probe
-    # failed.
+
+# ---------------------------------------------------------------------------
+# Headline composition from the essential measurements.
+# ---------------------------------------------------------------------------
+
+def _compose(extra, sgbm_fps):
+    """Build sgbm_plus_mst / seeded / video / scaling entries from the
+    essential probes (mst_1280x960x128 + memsys + sgbm_bf16)."""
+    mst = extra.get("mst_1280x960x128", {})
+    mem = extra.get("memsys", {})
+    if not (mst.get("status") == "ok" and mst.get("ms_per_iteration")):
+        return
+    equiv_iters = 30 / 4.0 + 10.0  # c2f budget in full-iteration units
+    sgb = mst.get("analytic_stream_gb_per_iteration", 0.0)
+    # derate each gather class by ITS measured penalty on this chip
+    # (memsys): the MST gathers are local (near-diagonal sub_end /
+    # DFS-order euler_src / node-order label_cost rows) and monotone
+    # (in_pos), not random
+    g_loc = mst.get("analytic_gather_local_gb_per_iteration", 0.0)
+    g_mon = mst.get("analytic_gather_monotone_gb_per_iteration", 0.0)
+    ggb = g_loc + g_mon
+    pen_loc = mem.get("gather_local64_penalty", mem.get("gather_penalty", 1.0))
+    pen_mon = mem.get("gather_monotone_penalty", mem.get("gather_penalty", 1.0))
+    t_iter_opt = (sgb + ggb) / V5E_HBM_GBPS
+    t_iter_der = (sgb + g_loc * pen_loc + g_mon * pen_mon) / V5E_HBM_GBPS
+    mst_s_opt = 2 * equiv_iters * t_iter_opt  # both views
+    mst_s_der = 2 * equiv_iters * t_iter_der
+    t_sgbm = 1.0 / extra["sgbm_bf16"]["v5e_roofline_fps"]
+    fps_opt = 1.0 / (t_sgbm + mst_s_opt)
+    fps_der = 1.0 / (t_sgbm + mst_s_der)
+    local_s = 2 * equiv_iters * mst["ms_per_iteration"] / 1e3 + 1.0 / sgbm_fps
+    extra["sgbm_plus_mst"] = {
+        "equiv_iterations_per_view": equiv_iters,
+        "v5e_fps_optimistic": round(fps_opt, 1),
+        "v5e_fps_gather_derated": round(fps_der, 2),
+        "local_tunnel_s_per_frame": round(local_s, 1),
+        "note": "c2f 30/10 budget from PARITY.md curve; derated "
+        "uses this chip's measured gather penalty as the bound",
+    }
+    print(
+        f"sgbm_plus_mst: v5e fps {fps_der:.1f} (derated) .. "
+        f"{fps_opt:.1f} (optimistic); local {local_s:.1f} s/frame",
+        file=sys.stderr,
+    )
+
+    # ---- SEEDED composition (models/sgbm_mst.py): ONE SGBM pass seeds
+    # BOTH views — the right map is the disp2 min-cost projection the
+    # disp12 check builds anyway (right_seed="disp2", GT-gated) — then
+    # label optimization is F=4 truncated-ladder iterations (K_seeded
+    # candidates instead of K_full — bytes scale with K) plus one
+    # aggregation pass for the seed's true cost. Quality: better than
+    # flat-30 on the GT battery at this very budget
+    # (tests/test_mst_seeded.py, PARITY.md). ----
+    kf, ks = mst.get("k_full"), mst.get("k_seeded")
+    if not (kf and ks):
+        return
+    f_fine = 4.0
+    # production seeded analytics from the probe (K_seeded candidates,
+    # carry_iters=1, the scan backend that ran) — not the full-config
+    # numbers rescaled
+    s_st = mst.get("analytic_stream_gb_per_iteration_seeded")
+    s_gl = mst.get("analytic_gather_local_gb_per_iteration_seeded", 0.0)
+    s_gm = mst.get("analytic_gather_monotone_gb_per_iteration_seeded", 0.0)
+    if s_st is None:  # old probe fallback: rescale by K
+        s_st = sgb * ks / kf
+        s_gl, s_gm = g_loc * ks / kf, g_mon * ks / kf
+    t_it_opt_s = (s_st + s_gl + s_gm) / V5E_HBM_GBPS
+    t_it_der_s = (s_st + s_gl * pen_loc + s_gm * pen_mon) / V5E_HBM_GBPS
+    # per view: F fine iterations + the seed's own cost pass (one
+    # tree_filter + label_cost ~= 1/K_seeded iterations)
+    n_eq = f_fine + 1.0 / ks
+    mst_s_opt_s = 2 * n_eq * t_it_opt_s
+    mst_s_der_s = 2 * n_eq * t_it_der_s
+    fps_opt_s = 1.0 / (t_sgbm + mst_s_opt_s)
+    fps_der_s = 1.0 / (t_sgbm + mst_s_der_s)
+    ms_it_seed = mst.get(
+        "ms_per_iteration_seeded", mst["ms_per_iteration"] * ks / kf
+    )
+    local_s_s = 2 * n_eq * ms_it_seed / 1e3 + 1.0 / sgbm_fps
+    extra["sgbm_plus_mst_seeded"] = {
+        "fine_iterations_per_view": f_fine,
+        "k_seeded": ks,
+        "ci_seeded": mst.get("ci_seeded", 2),
+        "analytic_gb_per_seeded_iteration": round(s_st + s_gl + s_gm, 2),
+        "v5e_fps_optimistic": round(fps_opt_s, 1),
+        "v5e_fps_gather_derated": round(fps_der_s, 2),
+        "v5e_fps_derated_mirror_right_seed": round(
+            1.0 / (2 * t_sgbm + mst_s_der_s), 2
+        ),
+        "local_tunnel_s_per_frame": round(local_s_s, 1),
+        "note": "one SGBM (disp2 seeds the right view free) "
+        "+ plane-fit seed + F=4 truncated-ladder MST at the "
+        "production config (max_neighbors=2, carry_iters=1, "
+        "bf16 volume, pallas scans) — every choice GT-gated "
+        "(tests/test_mst_seeded.py, PARITY.md)",
+    }
+    print(
+        f"sgbm_plus_mst_seeded: v5e fps {fps_der_s:.1f} "
+        f"(derated) .. {fps_opt_s:.1f} (optimistic); local "
+        f"{local_s_s:.1f} s/frame",
+        file=sys.stderr,
+    )
+
+    # ---- VIDEO mode (temporal seeding, round 3): the previous frame's
+    # refined maps seed the labels, so the steady-state frame drops the
+    # SGBM pass entirely; SGBM runs only on keyframes
+    # (models/sgbm_mst.py::sgbm_mst_video + serving.compile_mst_video_
+    # server, GT-sequence-gated in tests/test_mst_video.py). ----
+    ti_video = 2.0  # measured recipe: ti=2 BEATS ti=4 on the GT sequence
+    # (tests/test_mst_video.py) — a one-frame-stale seed needs less
+    # polish than a fresh SGBM seed
+    n_eq_v = ti_video + 1.0 / ks
+    mst_s_der_v = 2 * n_eq_v * t_it_der_s
+    extra["sgbm_plus_mst_video"] = {
+        "temporal_iterations_per_view": ti_video,
+        "v5e_fps_derated_steady_state": round(1.0 / mst_s_der_v, 2),
+        "v5e_fps_derated_reseed_every_30": round(
+            1.0 / (mst_s_der_v + t_sgbm / 30.0), 2
+        ),
+        "note": "temporal seeding: frame N's refined maps "
+        "seed frame N+1's plane labels on device — the "
+        "steady-state video frame is refine-only (no SGBM, "
+        "2 iterations/view); keyframe cadence amortizes the "
+        "reseed (GT-sequence-gated, tests/test_mst_video.py)",
+    }
+    print(
+        "sgbm_plus_mst_video: v5e fps "
+        f"{1.0 / mst_s_der_v:.1f} (steady-state, derated)",
+        file=sys.stderr,
+    )
+
+    # ---- scaling: fps/chip efficiency at N chips (BASELINE "Scaling"
+    # row). Real multi-chip hardware is absent in this environment (one
+    # tunneled chip), so the N>1 numbers are the analytic model of the
+    # two sharding modes the repo implements and parity-tests on the
+    # virtual CPU mesh (MULTICHIP json validates they compile+run):
+    #
+    # (a) throughput mode — data-parallel frames over a (frame,) mesh
+    #     (apps/stream.py, parallel/multihost). Frames are independent:
+    #     zero inter-chip bytes, so fps/chip efficiency is 1.0 by
+    #     construction; across hosts the same holds on DCN (each host
+    #     feeds its own chips). This is the production serving answer.
+    #
+    # (b) latency mode — ONE frame sharded over N chips: tiled SGBM
+    #     (halo rows, negligible) + node-sharded MST
+    #     (parallel/mst_mesh.py::mst_pms_optimize_mesh_sharded):
+    #     per-chip HBM bytes fall as 1/N; each candidate batch
+    #     all_gathers the (H*W,)-f32 per-node aggregate, so each chip
+    #     RECEIVES K * H*W * 4 * (N-1)/N bytes per iteration over ICI.
+    #     ICI constant below is the public scaling-book order of
+    #     magnitude for v5e (2D torus); the entry reports the raw
+    #     collective bytes too so the efficiency can be re-derived
+    #     under any ICI figure.
+    V5E_ICI_GBPS = 90.0  # ~45 GB/s/dir/axis x 2 axes, approx
+    hbm_gb_frame = 2 * n_eq * (
+        s_st + s_gl * pen_loc + s_gm * pen_mon
+    ) + t_sgbm * V5E_HBM_GBPS
+    nn = 1280 * 960
+    ici_gb_frame = 2 * n_eq * ks * nn * 4 / 1e9  # x (N-1)/N
+    lat = {}
+    for nch in (1, 2, 4, 8):
+        t_hbm = hbm_gb_frame / nch / V5E_HBM_GBPS
+        t_ici = ici_gb_frame * (nch - 1) / nch / V5E_ICI_GBPS
+        t_n = max(t_hbm, t_ici)  # collectives overlap compute
+        eff = (hbm_gb_frame / V5E_HBM_GBPS) / (nch * t_n)
+        lat[f"n{nch}"] = {
+            "fps": round(1.0 / t_n, 1),
+            "fps_per_chip_efficiency": round(eff, 2),
+        }
+    extra["scaling"] = {
+        "throughput_mode": {
+            "scheme": "data-parallel frames, (frame,) mesh",
+            "inter_chip_bytes_per_frame": 0,
+            "fps_per_chip_efficiency": 1.0,
+            "hosts": "same on DCN: frames never cross hosts",
+        },
+        "latency_mode_single_frame": {
+            "scheme": "tiled SGBM + node-sharded MST "
+            "(all_gather per candidate batch)",
+            "hbm_gb_per_frame": round(hbm_gb_frame, 2),
+            "ici_gb_per_frame_received": round(ici_gb_frame, 2),
+            "assumed_ici_gbps": V5E_ICI_GBPS,
+            **lat,
+        },
+        "note": "N>1 is the analytic model of the sharding "
+        "modes parity-tested on the virtual CPU mesh; no "
+        "multi-chip hardware exists in this environment",
+    }
+
+
+def _headline(extra, sgbm_fps):
+    """The BASELINE north star is end-to-end SGBM+3DMST fps. Local tunnel
+    timings are environmental (CLAUDE.md), so the headline is the
+    analytic v5e projection with gathers DERATED by this chip's own
+    measured gather/stream penalty (the conservative end of the
+    bracket); the optimistic bound and every measured number ride in
+    "extra". Falls back to measured SGBM-only fps if the MST probe
+    failed."""
     if "sgbm_plus_mst_seeded" in extra:
         # the seeded composition is the production recipe: same (better)
         # GT-battery quality as the flat/c2f runs at a fraction of the
         # tree-filter bytes (PARITY.md)
-        headline = {
+        v = extra["sgbm_plus_mst_seeded"]["v5e_fps_gather_derated"]
+        return {
             "metric": "sgbm_plus_mst_seeded_v5e_analytic_fps_1280x960x128",
-            "value": extra["sgbm_plus_mst_seeded"]["v5e_fps_gather_derated"],
-            "unit": "fps",
-            "vs_baseline": round(
-                extra["sgbm_plus_mst_seeded"]["v5e_fps_gather_derated"] / 30.0,
-                3,
-            ),
+            "value": v, "unit": "fps", "vs_baseline": round(v / 30.0, 3),
         }
-    elif "sgbm_plus_mst" in extra:
-        headline = {
+    if "sgbm_plus_mst" in extra:
+        v = extra["sgbm_plus_mst"]["v5e_fps_gather_derated"]
+        return {
             "metric": "sgbm_plus_mst_v5e_analytic_fps_1280x960x128",
-            "value": extra["sgbm_plus_mst"]["v5e_fps_gather_derated"],
-            "unit": "fps",
-            "vs_baseline": round(
-                extra["sgbm_plus_mst"]["v5e_fps_gather_derated"] / 30.0, 3
+            "value": v, "unit": "fps", "vs_baseline": round(v / 30.0, 3),
+        }
+    return {
+        "metric": "sgbm_fps_1280x960x128",
+        "value": round(sgbm_fps, 3), "unit": "fps",
+        "vs_baseline": round(sgbm_fps / 30.0, 3),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatch_tpu.config import SGBMConfig, replace
+    from stereomatch_tpu.ops.sgbm import sgbm_disparity
+
+    h, w, d = 960, 1280, 128
+    rng = np.random.default_rng(0)
+    tex = rng.random((h, w + d)).astype(np.float32)
+    for _ in range(2):
+        tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, 1, 0)) / 3
+    tex = tex * 255
+    left = jnp.asarray(tex[:, :w])
+    right = jnp.asarray(tex[:, 40 : 40 + w])
+
+    cfg = SGBMConfig(min_disp=0, num_disp=d, block_size=5)
+    extra = {}
+
+    # =====================================================================
+    # PHASE A — essentials: everything the headline needs.
+    # =====================================================================
+
+    @jax.jit
+    def step(l, r):
+        out = sgbm_disparity(l, r, cfg)
+        # scalar summary: forces the whole pipeline but keeps the host
+        # transfer negligible (block_until_ready is unreliable through the
+        # tunnel, CLAUDE.md)
+        return jnp.sum(out.disparity)
+
+    print("compiling sgbm f32...", file=sys.stderr)
+    t0 = time.time()
+    float(step(left, right))
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    dt = _time_stepfn(step, (left, right), 5)
+    fps = 1.0 / dt
+    print(f"sgbm 1280x960x128: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+
+    # ---- analytic roofline (volume = H*W*D elements; passes = full
+    # read-or-write traversals of a volume-sized array in the program:
+    # cost build 1W + block-sum cumsums ~4 + row scans down/up (2x R+W,
+    # flip-free via reverse scans) + E/W (1 transpose each way + 2 scans
+    # sharing the read ~4) + selection reductions (~2R) ~= 13 volume
+    # passes f32) ----
+    passes = 13
+    vol_bytes = h * w * d * 4
+    bytes_frame = passes * vol_bytes
+    gbps = bytes_frame / dt / 1e9
+    v5e_fps = V5E_HBM_GBPS * 1e9 / bytes_frame
+    extra["sgbm_f32"] = {
+        "ms": round(dt * 1e3, 1),
+        "passes": passes,
+        "gb_per_frame": round(bytes_frame / 1e9, 3),
+        "achieved_gbps": round(gbps, 2),
+        "v5e_roofline_fps": round(v5e_fps, 1),
+    }
+    print(
+        f"  analytic: {bytes_frame/1e9:.2f} GB/frame ({passes} volume "
+        f"passes) -> achieved {gbps:.1f} GB/s; v5e roofline {v5e_fps:.0f} fps",
+        file=sys.stderr,
+    )
+
+    # ---- bf16 SGBM (the headline composition's SGBM term) ----
+    try:
+        cfg16 = replace(cfg, cost_dtype="bfloat16")
+
+        @jax.jit
+        def step16(l, r):
+            return jnp.sum(sgbm_disparity(l, r, cfg16).disparity)
+
+        float(step16(left, right))
+        dt16 = _time_stepfn(step16, (left, right), 5)
+        b16 = passes * h * w * d * 2
+        extra["sgbm_bf16"] = {
+            "ms": round(dt16 * 1e3, 1),
+            "gb_per_frame": round(b16 / 1e9, 3),
+            "achieved_gbps": round(b16 / dt16 / 1e9, 2),
+            "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / b16, 1),
+        }
+        print(f"sgbm bf16: {dt16*1e3:.1f} ms/frame", file=sys.stderr)
+    except Exception as e:
+        print(f"bf16 bench skipped: {e}", file=sys.stderr)
+
+    # ---- memory-system microbench: streaming vs gather GB/s on THIS chip
+    # (VERDICT r2 #2: ground the MST roofline — its Euler passes are
+    # gather-heavy). Scalar-summary outputs keep tunnel D2H out of the
+    # timing. Same-run measurements only: the tunnel's numbers DRIFT day
+    # to day (CLAUDE.md), so the derate must come from THIS run. ----
+    try:
+        m_elems = 16 * 1024 * 1024
+        xm = jnp.asarray(np.random.default_rng(0).random(m_elems, np.float32))
+        stream_fn = jax.jit(lambda x: jnp.sum(x * 1.000001))
+        float(stream_fn(xm))
+        dtm = _time_stepfn(stream_fn, (xm,), 3, warmup=1)
+        stream_gbps = m_elems * 4 / dtm / 1e9
+        # gather CLASSES: the MST/PM index maps are not random — in_pos is
+        # monotone, parent/sub_end near-diagonal, label_cost a per-row
+        # column select — so measure each class this code actually emits
+        # and derate each engine by its own class, not the random worst
+        # case (the class mix per engine is in the analytic models).
+        grng = np.random.default_rng(1)
+        idx_classes = {
+            "random": grng.permutation(m_elems),
+            "monotone": np.sort(grng.integers(0, m_elems, m_elems)),
+            "local64": np.clip(
+                np.arange(m_elems) + grng.integers(-64, 65, m_elems),
+                0, m_elems - 1,
             ),
         }
-    else:
-        headline = {
-            "metric": "sgbm_fps_1280x960x128",
-            "value": round(fps, 3),
-            "unit": "fps",
-            "vs_baseline": round(fps / 30.0, 3),
-        }
-    headline["extra"] = extra
-    print(json.dumps(headline))
+        gather_fn = jax.jit(lambda x, i: jnp.sum(x[i]))
+        mem = {"stream_read_gbps": round(stream_gbps, 2)}
+        for cname, idx_np in idx_classes.items():
+            idxm = jnp.asarray(idx_np.astype(np.int32))
+            float(gather_fn(xm, idxm))
+            dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
+            g = 2 * m_elems * 4 / dtg / 1e9
+            mem[f"gather_{cname}_gbps"] = round(g, 2)
+            mem[f"gather_{cname}_penalty"] = round(
+                stream_gbps / max(g, 1e-9), 1
+            )
+        mem["gather_penalty"] = mem["gather_random_penalty"]  # worst case
+        extra["memsys"] = mem
+        print(f"memsys: {mem}", file=sys.stderr)
+    except Exception as e:
+        print(f"memsys bench skipped: {e}", file=sys.stderr)
+
+    # ---- 3DMST at 1280x960x128: subprocess with timeout (the tunnel's
+    # remote compiler has hung on volume-scale MST; record it).
+    # Round-3 scan structure (ops/mst.py): per candidate per tree_filter,
+    # (1+carry_iters) N-length preorder up-scans + (1+carry_iters)
+    # 2N-length Euler down-scans, each ONE matmul pass (read+write+
+    # correction ~5 M-traversals) instead of log-depth combines; plus
+    # label_cost volume gathers (bf16 option halves those bytes). ----
+    _subprocess_probe("mst_1280x960x128", MST_CODE, 900, extra, min_s=180)
+
+    # ---- compose + EARLY HEADLINE: from here on, stdout already carries
+    # a valid driver line even if the process is killed. ----
+    try:
+        _compose(extra, fps)
+    except Exception as e:
+        print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
+    head = _headline(extra, fps)
+    head["extra"] = extra
+    print(json.dumps(head), flush=True)
+    print(f"[headline emitted at {time.time()-T_START:.0f}s]", file=sys.stderr)
+
+    # =====================================================================
+    # PHASE B — extras, each gated on the remaining budget (highest value
+    # first). Every probe records skipped_budget instead of overrunning.
+    # =====================================================================
+
+    # ---- fused SGBM+3DMST e2e: the whole north-star composition as ONE
+    # XLA program on the chip — a single measured s/frame + the XLA cost
+    # model's own bytes-accessed cross-check. ----
+    _subprocess_probe("sgbm_mst_fused_e2e", FUSED_CODE, 900, extra, min_s=240)
+
+    # ---- cost-volume pipeline (both views) ----
+    if _budget_ok("costvolume_pipeline", 120, extra):
+        try:
+            from stereomatch_tpu.config import (
+                CostVolumeConfig,
+                CostVolumePipelineConfig,
+                GuidedFilterConfig,
+            )
+            from stereomatch_tpu.models import cost_volume_stereo
+
+            cfg2 = CostVolumePipelineConfig(
+                volume=CostVolumeConfig(min_disp=0, max_disp=127),
+                guided=GuidedFilterConfig(slab=16),
+            )
+            lb = jnp.stack([left] * 3, axis=-1)
+            rb = jnp.stack([right] * 3, axis=-1)
+
+            @jax.jit
+            def cv_step(l, r):
+                out = cost_volume_stereo(l, r, cfg2)
+                return jnp.sum(out.left_disp) + jnp.sum(out.right_disp)
+
+            float(cv_step(lb, rb))
+            dtc = _time_stepfn(cv_step, (lb, rb), 3, warmup=1)
+            # per view: cost 1W + guided filter ~8 (4 box-filter RW pairs
+            # on p/corr/a/b) + WTA ~2R = ~11 passes; x2 views
+            cpasses = 22
+            cb = cpasses * h * w * d * 4
+            extra["costvolume_pipeline"] = {
+                "ms": round(dtc * 1e3, 1),
+                "passes": cpasses,
+                "achieved_gbps": round(cb / dtc / 1e9, 2),
+                "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / cb, 1),
+            }
+            print(f"costvolume both views: {dtc*1e3:.1f} ms/frame",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"costvolume bench skipped: {e}", file=sys.stderr)
+
+    # ---- remaining engines: BM + census at headline size ----
+    if _budget_ok("bm_census", 120, extra):
+        extra.pop("bm_census", None)
+        try:
+            from stereomatch_tpu.config import BMConfig, CensusConfig
+            from stereomatch_tpu.ops.bm import bm_disparity
+            from stereomatch_tpu.ops.cost import census_stereo
+
+            bcfg = BMConfig(num_disp=d, block_size=9)
+
+            @jax.jit
+            def bm_step(l, r):
+                return jnp.sum(bm_disparity(l, r, bcfg).disparity)
+
+            float(bm_step(left, right))
+            dtb = _time_stepfn(bm_step, (left, right), 3, warmup=1)
+            extra["bm"] = {"ms": round(dtb * 1e3, 1)}
+            print(f"bm 1280x960x128: {dtb*1e3:.1f} ms/frame", file=sys.stderr)
+
+            ccfg = CensusConfig(d_max=50)
+            l01 = left * (1.0 / 255.0)
+            r01 = right * (1.0 / 255.0)
+
+            @jax.jit
+            def census_step(l, r):
+                return jnp.sum(census_stereo(l, r, ccfg))
+
+            float(census_step(l01, r01))
+            dtc2 = _time_stepfn(census_step, (l01, r01), 3, warmup=1)
+            extra["census"] = {"ms": round(dtc2 * 1e3, 1)}
+            print(f"census 1280x960x51: {dtc2*1e3:.1f} ms/frame",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"bm/census bench skipped: {e}", file=sys.stderr)
+
+    # ---- banded SGBM at the reference's NATIVE scale (2048x1536x256) ----
+    if _budget_ok("sgbm_banded_2048x1536x256_bf16", 240, extra):
+        extra.pop("sgbm_banded_2048x1536x256_bf16", None)
+        try:
+            from stereomatch_tpu.ops.sgbm import sgbm_disparity_banded
+
+            h2, w2, d2 = 1536, 2048, 256
+            tex2 = np.tile(tex, (2, 2))[:h2, : w2 + 64]
+            l2 = jnp.asarray(tex2[:, :w2])
+            r2 = jnp.asarray(tex2[:, 64 : 64 + w2])
+            cfg2k = SGBMConfig(min_disp=0, num_disp=d2, block_size=5,
+                               cost_dtype="bfloat16")
+
+            @jax.jit
+            def step2k(l, r):
+                return jnp.sum(
+                    sgbm_disparity_banded(l, r, cfg2k, 128).disparity)
+
+            print("compiling banded 2048x1536x256...", file=sys.stderr)
+            float(step2k(l2, r2))
+            dt2k = _time_stepfn(step2k, (l2, r2), 2, warmup=1)
+            b2k = passes * h2 * w2 * d2 * 2 * 1.5  # up-sweep re-runs bands
+            extra["sgbm_banded_2048x1536x256_bf16"] = {
+                "ms": round(dt2k * 1e3, 1),
+                "fps": round(1.0 / dt2k, 2),
+                "v5e_roofline_fps": round(V5E_HBM_GBPS * 1e9 / b2k, 1),
+            }
+            print(f"banded 2048x1536x256 bf16: {dt2k*1e3:.1f} ms/frame",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"banded bench skipped: {e}", file=sys.stderr)
+
+    # ---- coupled engines (Family E alternations, dead in the reference,
+    # live here): the non-window AL-TGV<->coupled-WTA branch at a bounded
+    # size (the window branch crashes the tunnel worker like PatchMatch)
+    if _budget_ok("coupled_wta_480x640x64", 120, extra):
+        extra.pop("coupled_wta_480x640x64", None)
+        try:
+            from stereomatch_tpu.config import CoupledConfig
+            from stereomatch_tpu.models.coupled import coupled_wta_stereo
+
+            hc, wc, dc = 480, 640, 64
+            volc = jnp.asarray(
+                (np.random.default_rng(0).random((hc, wc, dc)) * 0.5
+                 ).astype(np.float32)
+            )
+            gug = jnp.asarray(tex[:hc, :wc])
+            ccfg2 = CoupledConfig(max_disp=dc - 1, outer_iterations=5,
+                                  smooth_iters=10)
+
+            @jax.jit
+            def coupled_step(v, g):
+                return jnp.sum(coupled_wta_stereo(v, g, ccfg2).disparity)
+
+            float(coupled_step(volc, gug))
+            dtc3 = _time_stepfn(coupled_step, (volc, gug), 3, warmup=1)
+            extra["coupled_wta_480x640x64"] = {"ms": round(dtc3 * 1e3, 1)}
+            print(f"coupled_wta 480x640x64: {dtc3*1e3:.1f} ms",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"coupled bench skipped: {e}", file=sys.stderr)
+
+    # ---- host forest builder at native scale ----
+    if _budget_ok("treebuild_2048x1536", 60, extra):
+        extra.pop("treebuild_2048x1536", None)
+        try:
+            from stereomatch_tpu.native import build_forest
+
+            h3, w3 = 1536, 2048
+            img3 = (np.tile(tex, (2, 2))[:h3, :w3]).astype(np.float32)
+            wr3 = np.abs(img3[:, 1:] - img3[:, :-1])
+            wd3 = np.abs(img3[1:] - img3[:-1])
+            t0 = time.time()
+            f3 = build_forest(wr3, wd3, 5000.0, 200, 1 / 12.0, 4.0)
+            tb = time.time() - t0
+            extra["treebuild_2048x1536"] = {
+                "ms": round(tb * 1e3, 1), "trees": f3.num_trees,
+            }
+            print(f"treebuild 2048x1536: {tb*1e3:.0f} ms, "
+                  f"{f3.num_trees} trees", file=sys.stderr)
+        except Exception as e:
+            print(f"treebuild bench skipped: {e}", file=sys.stderr)
+
+    # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
+    # seeded-ladder configuration, ONE iteration, candidate-chunked —
+    # proves the volume-scale program compiles and runs on-chip (bf16
+    # volume 1.6 GB resident + node-order copy). ----
+    _subprocess_probe("mst_native_2048x1536x256", MST_NATIVE_CODE, 900,
+                      extra, min_s=240)
+
+    # ---- on-device forest builder (ops/device_forest.py): the host-free
+    # alternative to treebuild — segmentation + Boruvka MST + Euler
+    # numbering as one jitted program. Subprocess-guarded: the program is
+    # sort/Wyllie-heavy and large for the tunnel's remote compiler.
+    # Timings here are tunnel-environmental (random-class gathers run at
+    # ~0.5 GB/s on this link, memsys); the entry records measured ms +
+    # the structural note that the build is sort+pointer-jump bound
+    # (~log2 N passes over 2E arcs), not volume bound. ----
+    _subprocess_probe("forest_device", FOREST_DEVICE_CODE, 600, extra,
+                      min_s=180)
+
+    # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
+    # The tunnel worker has crashed on the large program on some days
+    # (recorded honestly; isolated in a subprocess) ----
+    _subprocess_probe("patchmatch", PM_CODE, 900, extra, min_s=180)
+
+    # ---- Pallas SGBM backend: try-compile with timeout. LAST on
+    # purpose: the tunnel's remote compiler handles <=512-row shapes but
+    # has returned HTTP 500 — and on some days HUNG for the full timeout
+    # — on the rest; it must not starve the measured probes above. ----
+    _subprocess_probe("pallas_sgbm", PALLAS_SGBM_CODE, 300, extra,
+                      min_s=120)
+
+    # Final line: the same headline with the enriched extra dict. The
+    # driver takes the last parsable JSON line; if phase B was cut short
+    # the early print above already delivered the contract.
+    head = _headline(extra, fps)
+    head["extra"] = extra
+    print(json.dumps(head), flush=True)
+    print(f"[bench done at {time.time()-T_START:.0f}s / budget "
+          f"{BUDGET_S:.0f}s]", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -130,6 +130,8 @@ def run_mst(
     forest_backend: str = "host",
     sgbm_seed: bool = False,
     temporal_reseed: int | None = None,
+    temporal_iterations: int = 2,
+    temporal_refine_start: float = 4.0,
 ):
     """Streaming 3DMST with the host forest build OFF the critical path:
     frame N+1's forests are built by a worker thread (the ctypes C++
@@ -148,8 +150,14 @@ def run_mst(
     temporal_reseed (with sgbm_seed) turns on VIDEO mode: SGBM seeds only
     frame 0 (and every temporal_reseed-th frame if > 0); every other
     frame seeds from the PREVIOUS frame's refined maps, dropping the SGBM
-    pass from the steady-state frame (sgbm_mst_video semantics,
-    GT-sequence-gated in tests/test_mst_video.py)."""
+    pass from the steady-state frame. Temporal frames run the MEASURED
+    video recipe (sgbm_mst_video semantics, GT-sequence-gated in
+    tests/test_mst_video.py): `temporal_iterations` (default 2 — better
+    than 4 with a one-frame-stale seed) at `temporal_refine_start`
+    (default 4.0 — the annealed ladder must cover the expected
+    inter-frame motion in pixels; 2.0 at 3 px drift doubled bad2).
+    Keyframes keep the single-frame recipe (full `iterations` budget,
+    refine_start=2.0)."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -243,10 +251,15 @@ def run_mst(
                     )
                     if temporal_frame:
                         sdl, sdr = prev_maps  # video mode: previous refined maps
+                        # the measured video recipe (ADVICE r3): short
+                        # budget + a ladder that covers the motion
+                        it_i = temporal_iterations
+                        rs_i = temporal_refine_start
                     else:
                         sdl, sdr = sgbm_seed_disparities(
                             bl, br, _default_sgbm_cfg(cfg)
                         )
+                        it_i, rs_i = None, 2.0  # single-frame seeded recipe
                     inits = []
                     for sd, fa, vol in ((sdl, fa_l, lv), (sdr, fa_r, rv)):
                         a0, b0, c0 = plane_labels_from_disparity(
@@ -257,12 +270,12 @@ def run_mst(
                         )
                     a, b, c, _ = mst_pms_optimize(
                         kl, lv, fa_l, cfg, init_state=inits[0],
-                        refine_start=2.0,
+                        iterations=it_i, refine_start=rs_i,
                     )
                     dl = labels_to_disparity(a, b, c, fa_l, max_disp) * span
                     a, b, c, _ = mst_pms_optimize(
                         kr, rv, fa_r, cfg, init_state=inits[1],
-                        refine_start=2.0,
+                        iterations=it_i, refine_start=rs_i,
                     )
                     dr = labels_to_disparity(a, b, c, fa_r, max_disp) * span
                     prev_maps = (dl, dr)
@@ -308,6 +321,12 @@ def main():
                     help="sgbm_mst engine: VIDEO mode — SGBM seeds only "
                     "frame 0 (and every N-th frame if N > 0); other "
                     "frames seed from the previous refined maps")
+    ap.add_argument("--temporal-iterations", type=int, default=2,
+                    help="video mode: refinement iterations on temporal "
+                    "frames (measured recipe: 2)")
+    ap.add_argument("--temporal-refine-start", type=float, default=4.0,
+                    help="video mode: annealed-ladder entry (px) on "
+                    "temporal frames — set >= expected inter-frame motion")
     a = ap.parse_args()
     if a.engine in ("mst", "sgbm_mst"):
         seeded = a.engine == "sgbm_mst"
@@ -315,7 +334,9 @@ def main():
         run_mst(a.data_dir, a.calib, a.out_dir, scale=a.scale,
                 max_disp=a.max_disp, iterations=iters, resume=a.resume,
                 forest_backend=a.forest_backend, sgbm_seed=seeded,
-                temporal_reseed=a.temporal_reseed)
+                temporal_reseed=a.temporal_reseed,
+                temporal_iterations=a.temporal_iterations,
+                temporal_refine_start=a.temporal_refine_start)
     else:
         run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
             resume=a.resume)

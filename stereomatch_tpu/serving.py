@@ -239,10 +239,21 @@ class VideoStreamServer(StereoStreamServer):
     syncs the host — XLA schedules frame N+1's refine program behind
     frame N's outputs and the async upload/compute overlap of the base
     executor is preserved. Keyframes (frame 0 and, if `reseed_every` is
-    set, every K-th frame) run the full SGBM-seeded program
-    (`self.pipeline`); steady-state frames run the refine-only program,
-    dropping the whole SGBM stage from the per-frame byte budget
-    (models/sgbm_mst.py::_mst_refine_frame_fused)."""
+    set, every `reseed_every` frames SINCE the last keyframe — the
+    cadence counter rephases on `reset()`, so a scene cut restarts it)
+    run the full SGBM-seeded program (`self.pipeline`); steady-state
+    frames run the refine-only program, dropping the whole SGBM stage
+    from the per-frame byte budget
+    (models/sgbm_mst.py::_mst_refine_frame_fused).
+
+    Seeding semantics (deliberate, GT-sequence-gated): the chained
+    temporal state is the RAW dense pre-LR-check map pair straight out of
+    the fused frame program — keeping the chain on-device with zero host
+    sync. This differs from the offline `sgbm_mst_video` composition,
+    which seeds the left view from LR-checked + nearest-valid-filled
+    maps; the dense-seeded serving path is gated on the same absolute-GT
+    sequence (tests/test_serving.py::
+    test_video_server_refine_path_absolute_gt_sequence)."""
 
     def __init__(
         self,
@@ -255,26 +266,31 @@ class VideoStreamServer(StereoStreamServer):
         self.refine_pipeline = refine_pipeline
         self.reseed_every = reseed_every
         self._prev: Any = None
+        self._since_key = 0  # frames submitted since last keyframe, incl. it
 
     def submit_pair(self, left_bgr, right_bgr, seed: int | None = None) -> int:
         i = self._next
         key = jax.random.PRNGKey(i if seed is None else seed)
         keyframe = self._prev is None or (
-            self.reseed_every and i % self.reseed_every == 0
+            self.reseed_every and self._since_key >= self.reseed_every
         )
         if keyframe:
             t = self.submit(left_bgr, right_bgr, key)
+            self._since_key = 1
         else:
             t = self.submit(
                 left_bgr, right_bgr, *self._prev, key,
                 _pipeline=self.refine_pipeline,
             )
+            self._since_key += 1
         self._prev = self._queue[-1].outputs  # (disp_l, disp_r) device arrays
         return t
 
     def reset(self) -> None:
-        """Drop the temporal state (scene cut): the next frame reseeds."""
+        """Drop the temporal state (scene cut): the next frame reseeds
+        and the keyframe cadence rephases to it."""
         self._prev = None
+        self._since_key = 0
 
 
 def compile_mst_video_server(
@@ -285,6 +301,7 @@ def compile_mst_video_server(
     fine_iterations: int = 4,
     temporal_iterations: int | None = 2,
     refine_start: float | None = 2.0,
+    temporal_refine_start: float | None = 4.0,
     max_neighbors: int = 2,
     right_seed: str = "disp2",
     reseed_every: int = 0,
@@ -297,10 +314,14 @@ def compile_mst_video_server(
     alone. Steady-state per-frame work = cost-volume build + forest +
     `temporal_iterations` truncated-ladder refinements — no SGBM pass.
 
-    temporal_iterations defaults to the measured video recipe (2: better
-    than 4 on the GT sequence — tests/test_mst_video.py); raise
-    `refine_start` to at least the expected inter-frame motion in pixels
-    for fast scenes (4.0 at 3 px/frame measured; 2.0 suits slow motion).
+    The two programs take SEPARATE ladder entries (ADVICE r3): the
+    keyframe keeps `refine_start` (2.0, the single-frame seeded recipe —
+    a fresh SGBM seed is only subpixel-wrong) while the refine program
+    uses `temporal_refine_start` (default 4.0, the measured video
+    recipe: the ladder must cover the expected inter-frame motion in
+    pixels — rs=2 at 3 px drift doubled bad2 on the GT sequence).
+    temporal_iterations likewise defaults to the measured recipe (2:
+    better than 4 on the GT sequence — tests/test_mst_video.py).
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
@@ -319,6 +340,7 @@ def compile_mst_video_server(
         sgbm_cfg = _default_sgbm_cfg(cfg)
     d = cfg.max_disp
     ti = fine_iterations if temporal_iterations is None else temporal_iterations
+    trs = refine_start if temporal_refine_start is None else temporal_refine_start
     tmax, adj_cap = _fused_capacities(h, w, cfg)
     span = float(d - 1)
 
@@ -339,7 +361,7 @@ def compile_mst_video_server(
         return _mst_refine_frame_fused(
             left_bgr, right_bgr, vl, vr,
             jnp.clip(prev_dl, 0.0, span), jnp.clip(prev_dr, 0.0, span),
-            key, cfg, ti, refine_start, max_neighbors, h, w, tmax, adj_cap,
+            key, cfg, ti, trs, max_neighbors, h, w, tmax, adj_cap,
         )
 
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)

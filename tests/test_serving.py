@@ -132,6 +132,57 @@ class TestSgbmMstServer:
         assert server.pipeline.peak_hbm_bytes >= 0
 
 
+class TestVideoCadence:
+    """Keyframe cadence is frames-since-last-keyframe, rephased by
+    reset() (ADVICE r3: the old global-ticket modulo decoupled the
+    cadence from a scene cut)."""
+
+    @staticmethod
+    def _toy_video_server(reseed_every):
+        from stereomatch_tpu.serving import VideoStreamServer
+
+        def keyframe(l, r, key):
+            # marks the keyframe path: outputs pinned to 100
+            return jnp.zeros_like(l) + 100.0, jnp.zeros_like(r) + 100.0
+
+        def refine(l, r, pdl, pdr, key):
+            # marks the refine path: increments the chained state
+            return pdl + 1.0, pdr + 1.0
+
+        img = jax.ShapeDtypeStruct((4, 8), jnp.float32)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        return VideoStreamServer(
+            CompiledPipeline(keyframe, (img, img, key)),
+            CompiledPipeline(refine, (img, img, img, img, key)),
+            capacity=2,
+            reseed_every=reseed_every,
+        )
+
+    def test_cadence_counts_from_last_keyframe(self):
+        server = self._toy_video_server(reseed_every=3)
+        x = np.zeros((4, 8), np.float32)
+        vals = []
+        for _ in range(7):
+            t = server.submit_pair(x, x)
+            vals.append(float(server.collect(t)[0][0, 0]))
+        # keyframes at 0, 3, 6: 100, then two refines, then re-key
+        assert vals == [100.0, 101.0, 102.0, 100.0, 101.0, 102.0, 100.0]
+
+    def test_reset_rephases_cadence(self):
+        server = self._toy_video_server(reseed_every=3)
+        x = np.zeros((4, 8), np.float32)
+        for _ in range(2):  # tickets 0 (key), 1 (refine)
+            server.collect(server.submit_pair(x, x))
+        server.reset()  # scene cut at ticket 2
+        vals = [
+            float(server.collect(server.submit_pair(x, x))[0][0, 0])
+            for _ in range(4)
+        ]
+        # post-cut: keyframe, then a FULL reseed_every run of refines
+        # (the old i %% reseed_every would have re-keyed at ticket 3)
+        assert vals == [100.0, 101.0, 102.0, 100.0]
+
+
 class TestVideoServer:
     """The stateful temporal video executor: SGBM keyframe program +
     refine-only steady-state program, chained on device."""
