@@ -26,10 +26,40 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (machine-local, /tmp): round 4's box has ONE
+# CPU core, so XLA:CPU compiles dominate the suite (~30 min of mostly
+# compile time) — and its backend_compile segfaults deterministically deep
+# into a cold single-process run (see _clear_jax_caches_between_modules).
+# A warm cache both cuts reruns to a fraction and routes most programs
+# through deserialization instead of the crashing compile path.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stereomatch_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables when a module finishes.
+
+    Round 4's 1-CPU box segfaults XLA:CPU's backend_compile
+    DETERMINISTICALLY ~112 tests into a single-process full-suite run
+    (both the driver's run and a local rerun died at the same test;
+    the test passes alone) — a compile-state accumulation bug in the
+    backend, not in this code. Modules share almost no jitted programs,
+    so dropping the caches between modules costs little and keeps the
+    per-process accumulation far from the crash threshold."""
+    yield
+    import gc
+
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()  # drop executables still held via module-level jits
 
 
 @pytest.fixture()
