@@ -132,6 +132,45 @@ class TestSgbmMstServer:
         assert server.pipeline.peak_hbm_bytes >= 0
 
 
+def test_video_server_refine_path_absolute_gt_sequence():
+    """The SERVED temporal composition — raw dense pre-LR-check maps
+    chained on device, no _apply_smoothness/lr_consistency inside the
+    frame programs (deliberately different from the offline
+    sgbm_mst_video, which seeds from checked+filled maps) — meets
+    absolute GT gates on every frame of a moving sequence (ADVICE r3:
+    the wiring tests alone left served quality ungated).
+
+    Measured (120x160, D=24, drift 2 px/frame, production config,
+    ti=2 / temporal_refine_start=4): keyframe epe 0.214 / bad2 0.11%;
+    temporal frames epe 0.209-0.212 / bad2 <= 0.10%, LR-valid fraction
+    0.62-0.63 — gates carry >3x headroom."""
+    from stereomatch_tpu.config import production_mst_config
+    from stereomatch_tpu.eval import disparity_metrics
+    from stereomatch_tpu.ops.postprocess import lr_consistency
+    from stereomatch_tpu.synthetic import render_sequence, scene_eval_mask
+
+    H, W, D = 120, 160, 24
+    seq = render_sequence(2, 3, H, W, D, drift=2.0)
+    cfg = production_mst_config(
+        D, on_tpu=False, min_cc_size=100, c=2000.0, forest_backend="device"
+    )
+    srv = compile_mst_video_server(
+        H, W, cfg=cfg, fine_iterations=4, temporal_iterations=2,
+        temporal_refine_start=4.0,
+    )
+    tickets = [srv.submit_pair(sc.left, sc.right) for sc in seq]
+    for i, (sc, t) in enumerate(zip(seq, tickets)):
+        dl, dr = srv.collect(t)
+        dl_checked, valid = lr_consistency(
+            jnp.asarray(dl), jnp.asarray(dr), float(D), fill=False
+        )
+        v = np.asarray(valid) & scene_eval_mask(sc)
+        assert v.mean() > 0.45, (i, v.mean())
+        mm = disparity_metrics(np.asarray(dl_checked), sc.disp_left, v)
+        assert mm["epe"] < 0.8, (i, mm)
+        assert mm["bad2"] < 0.03, (i, mm)
+
+
 class TestVideoCadence:
     """Keyframe cadence is frames-since-last-keyframe, rephased by
     reset() (ADVICE r3: the old global-ticket modulo decoupled the
