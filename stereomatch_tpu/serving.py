@@ -119,6 +119,7 @@ class CompiledPipeline:
 class _Pending:
     ticket: int
     outputs: Any
+    replay: Callable[[], Any] | None = None  # host-side re-execution
 
 
 class StereoStreamServer:
@@ -131,32 +132,100 @@ class StereoStreamServer:
     of frame N — the steady-state rate is max(upload, compute), not
     their sum. Submitting beyond `capacity` first collects the oldest
     frame (backpressure), bounding device memory to `capacity` frames.
+
+    Failure recovery (`retries` > 0): TPU workers restart under
+    preemption — and this environment's tunneled chip crashes its worker
+    on big programs — which surfaces as an exception when a frame's
+    outputs are materialized and LOSES every live device buffer. With
+    retries enabled the executor keeps a HOST copy of each in-flight
+    frame's inputs and, when materialization fails, re-uploads and
+    re-runs that frame up to `retries` times (`retry_backoff_s` between
+    attempts — set it to the fleet's worker-restart time in real
+    deployments; `failures` counts recovered attempts for
+    observability). The reference has no failure story at all
+    (SURVEY §5: system() return codes checked only to early-return).
     """
 
-    def __init__(self, pipeline: CompiledPipeline, capacity: int = 2):
+    def __init__(
+        self,
+        pipeline: CompiledPipeline,
+        capacity: int = 2,
+        retries: int = 0,
+        retry_backoff_s: float = 0.0,
+    ):
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.pipeline = pipeline
         self.capacity = capacity
+        self.retries = retries
+        self.retry_backoff_s = retry_backoff_s
+        self.failures = 0
         self._queue: deque[_Pending] = deque()
         self._next = 0
         self._done: dict[int, Any] = {}
 
-    def submit(self, *frame_args, _pipeline: CompiledPipeline | None = None) -> int:
+    def submit(
+        self,
+        *frame_args,
+        _pipeline: CompiledPipeline | None = None,
+        _replay_args: Sequence[Any] | None = None,
+    ) -> int:
         if len(self._queue) >= self.capacity:
             self._finish(self._queue.popleft())
-        dev = [
-            a if isinstance(a, jax.Array) else jax.device_put(jnp.asarray(a))
-            for a in frame_args
-        ]
-        out = (_pipeline or self.pipeline)(*dev)
+        replay = None
+        if self.retries:
+            # Host snapshot for replay after device-state loss. When
+            # `_replay_args` is given (the video executor: a refine
+            # frame's chained device seeds die with the worker), replay
+            # routes those args through the PRIMARY pipeline instead.
+            src = frame_args if _replay_args is None else _replay_args
+            target = (_pipeline or self.pipeline) if _replay_args is None \
+                else self.pipeline
+            host = tuple(np.asarray(a) for a in src)
+
+            def replay(host=host, target=target):
+                return target(*[jax.device_put(jnp.asarray(a)) for a in host])
+
+        try:
+            dev = [
+                a if isinstance(a, jax.Array)
+                else jax.device_put(jnp.asarray(a))
+                for a in frame_args
+            ]
+            out = (_pipeline or self.pipeline)(*dev)
+        except Exception:
+            # dispatch itself can raise eagerly when an INPUT buffer died
+            # with the worker (chained video seeds); recover in place
+            if replay is None:
+                raise
+            self.failures += 1
+            out = replay()
         ticket = self._next
         self._next += 1
-        self._queue.append(_Pending(ticket, out))
+        self._queue.append(_Pending(ticket, out, replay))
         return ticket
 
     def _finish(self, p: _Pending) -> None:
-        self._done[p.ticket] = jax.tree_util.tree_map(np.asarray, p.outputs)
+        try:
+            self._done[p.ticket] = jax.tree_util.tree_map(np.asarray, p.outputs)
+            return
+        except Exception:
+            if not (self.retries and p.replay):
+                raise
+        import time as _time
+
+        err: Exception | None = None
+        for _attempt in range(self.retries):
+            self.failures += 1
+            if self.retry_backoff_s:  # the worker is restarting right now
+                _time.sleep(self.retry_backoff_s)
+            try:
+                out = p.replay()
+                self._done[p.ticket] = jax.tree_util.tree_map(np.asarray, out)
+                return
+            except Exception as e:  # worker may still be restarting
+                err = e
+        raise err
 
     def collect(self, ticket: int):
         """Block until `ticket`'s frame is done; returns numpy pytree."""
@@ -183,6 +252,8 @@ def compile_sgbm_mst_server(
     right_seed: str = "disp2",
     capacity: int = 2,
     on_tpu: bool | None = None,
+    retries: int = 0,
+    retry_backoff_s: float = 0.0,
 ) -> StereoStreamServer:
     """AOT-compile the production north-star pipeline for an HxW stream.
 
@@ -221,7 +292,8 @@ def compile_sgbm_mst_server(
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     pipe = CompiledPipeline(frame, (img, img, key))
-    server = StereoStreamServer(pipe, capacity=capacity)
+    server = StereoStreamServer(pipe, capacity=capacity, retries=retries,
+                                retry_backoff_s=retry_backoff_s)
 
     def submit_pair(left_bgr, right_bgr, seed: int | None = None):
         s = server._next if seed is None else seed
@@ -261,8 +333,11 @@ class VideoStreamServer(StereoStreamServer):
         refine_pipeline: CompiledPipeline,
         capacity: int = 2,
         reseed_every: int = 0,
+        retries: int = 0,
+        retry_backoff_s: float = 0.0,
     ):
-        super().__init__(keyframe_pipeline, capacity=capacity)
+        super().__init__(keyframe_pipeline, capacity=capacity,
+                         retries=retries, retry_backoff_s=retry_backoff_s)
         self.refine_pipeline = refine_pipeline
         self.reseed_every = reseed_every
         self._prev: Any = None
@@ -278,9 +353,15 @@ class VideoStreamServer(StereoStreamServer):
             t = self.submit(left_bgr, right_bgr, key)
             self._since_key = 1
         else:
+            # failure replay re-runs this frame as a KEYFRAME: a worker
+            # restart loses the chained device seeds, so the honest
+            # recovery is to re-key the temporal chain at this frame
+            # (keyframes are the highest-quality path; only cost is one
+            # SGBM pass)
             t = self.submit(
                 left_bgr, right_bgr, *self._prev, key,
                 _pipeline=self.refine_pipeline,
+                _replay_args=(left_bgr, right_bgr, key),
             )
             self._since_key += 1
         self._prev = self._queue[-1].outputs  # (disp_l, disp_r) device arrays
@@ -307,6 +388,8 @@ def compile_mst_video_server(
     reseed_every: int = 0,
     capacity: int = 2,
     on_tpu: bool | None = None,
+    retries: int = 0,
+    retry_backoff_s: float = 0.0,
 ) -> VideoStreamServer:
     """AOT-compile the VIDEO serving pair for an HxW stream: the
     SGBM-seeded keyframe program plus the temporal refine-only program
@@ -370,5 +453,6 @@ def compile_mst_video_server(
     key_pipe = CompiledPipeline(keyframe, (img, img, key))
     ref_pipe = CompiledPipeline(refine, (img, img, dsp, dsp, key))
     return VideoStreamServer(
-        key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every
+        key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every,
+        retries=retries, retry_backoff_s=retry_backoff_s,
     )

@@ -132,6 +132,108 @@ class TestSgbmMstServer:
         assert server.pipeline.peak_hbm_bytes >= 0
 
 
+class _Poison:
+    """Stands in for a device buffer lost to a worker restart:
+    materializing it raises, like np.asarray on a dead jax.Array."""
+
+    def __array__(self, dtype=None, copy=None):
+        raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+
+
+class _FlakyPipeline:
+    """Returns poisoned outputs for the first `fail_n` calls, then real
+    arrays — the shape of a worker crash + restart."""
+
+    def __init__(self, fail_n=1, value=7.0):
+        self.fail_n = fail_n
+        self.calls = 0
+        self.value = value
+
+    def __call__(self, *args):
+        self.calls += 1
+        if self.calls <= self.fail_n:
+            return _Poison(), _Poison()
+        x = jnp.full((4, 8), self.value)
+        return x, x
+
+
+class TestFailureRecovery:
+    """Preemption/crash recovery: a worker restart loses device buffers;
+    with retries the executor replays the frame from host-kept inputs
+    (SURVEY §5: the reference has no failure handling at all)."""
+
+    def test_retry_replays_lost_frame(self):
+        pipe = _FlakyPipeline(fail_n=1)
+        server = StereoStreamServer(pipe, capacity=2, retries=1)
+        t = server.submit(np.ones((4, 8), np.float32))
+        a, b = server.collect(t)
+        np.testing.assert_allclose(a, 7.0)
+        assert server.failures == 1
+        assert pipe.calls == 2  # original + replay
+
+    def test_no_retries_propagates(self):
+        server = StereoStreamServer(_FlakyPipeline(fail_n=1), capacity=1)
+        t = server.submit(np.ones((4, 8), np.float32))
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            server.collect(t)
+
+    def test_retries_exhausted_raises(self):
+        server = StereoStreamServer(
+            _FlakyPipeline(fail_n=5), capacity=1, retries=2
+        )
+        t = server.submit(np.ones((4, 8), np.float32))
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            server.collect(t)
+        assert server.failures == 2
+
+    def test_dispatch_time_failure_recovers_at_submit(self):
+        """When dispatch raises eagerly (dead INPUT buffers after a
+        restart), submit itself replays instead of propagating."""
+
+        class _RaisingPipeline:
+            calls = 0
+
+            def __call__(self, *args):
+                self.calls += 1
+                if self.calls == 1:
+                    raise RuntimeError("UNAVAILABLE: worker restarting")
+                x = jnp.full((4, 8), 3.0)
+                return x, x
+
+        pipe = _RaisingPipeline()
+        server = StereoStreamServer(pipe, capacity=1, retries=1)
+        t = server.submit(np.ones((4, 8), np.float32))
+        a, _ = server.collect(t)
+        np.testing.assert_allclose(a, 3.0)
+        assert server.failures == 1 and pipe.calls == 2
+
+    def test_video_refine_crash_replays_as_keyframe(self):
+        """A refine frame whose chained device seeds died is replayed
+        through the KEYFRAME pipeline (the temporal chain cannot survive
+        a restart; re-keying is the honest recovery)."""
+        from stereomatch_tpu.serving import VideoStreamServer
+
+        key_pipe = _FlakyPipeline(fail_n=0, value=100.0)  # never fails
+
+        class _RefinePoison:
+            calls = 0
+
+            def __call__(self, *args):
+                self.calls += 1
+                return _Poison(), _Poison()
+
+        ref_pipe = _RefinePoison()
+        server = VideoStreamServer(key_pipe, ref_pipe, capacity=2, retries=1)
+        x = np.zeros((4, 8), np.float32)
+        t0 = server.submit_pair(x, x)  # keyframe, fine
+        t1 = server.submit_pair(x, x)  # refine -> poisoned outputs
+        np.testing.assert_allclose(server.collect(t0)[0], 100.0)
+        a, _ = server.collect(t1)  # replayed through the keyframe path
+        np.testing.assert_allclose(a, 100.0)
+        assert server.failures == 1
+        assert ref_pipe.calls == 1 and key_pipe.calls == 2
+
+
 def test_video_server_refine_path_absolute_gt_sequence():
     """The SERVED temporal composition — raw dense pre-LR-check maps
     chained on device, no _apply_smoothness/lr_consistency inside the
