@@ -80,31 +80,49 @@ def _subprocess_probe(tag, code, timeout, extra, env=None, min_s=120):
         return
     timeout = max(min_s, min(timeout, _remaining() - 20))
 
+    def _last_json(text):
+        """Last parsable JSON-object line of a stdout blob, or None."""
+        for line in reversed((text or "").strip().splitlines()):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                val = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(val, dict):
+                return val
+        return None
+
     t0 = time.time()
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=timeout,
-            env={**os.environ, **(env or {})},
+            env={**os.environ, "PROBE_BUDGET_S": str(int(timeout - 30)),
+                 **(env or {})},
         )
         ms = (time.time() - t0) * 1e3
-        val = None
-        if r.returncode == 0 and r.stdout.strip():
-            try:
-                val = json.loads(r.stdout.strip().splitlines()[-1])
-            except ValueError:
-                val = None  # stray non-JSON stdout must not kill the bench
-            if not isinstance(val, dict):
-                val = None  # a JSON scalar/list would crash the dict splat
+        val = _last_json(r.stdout) if r.returncode == 0 else None
         if val is not None:
             extra[tag] = {"status": "ok", **val}
             print(f"{tag}: ok {val}", file=sys.stderr)
         else:
             extra[tag] = {"status": "error", "ms": round(ms, 1)}
             print(f"{tag}: error\n{r.stderr[-800:]}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        extra[tag] = {"status": "hang", "timeout_s": timeout}
-        print(f"{tag}: HANG (>{timeout}s)", file=sys.stderr)
+    except subprocess.TimeoutExpired as te:
+        # salvage: probes print intermediate JSON lines before risky
+        # attempts, so a timeout can still deliver measured numbers
+        out_txt = te.stdout.decode() if isinstance(te.stdout, bytes) \
+            else (te.stdout or "")
+        val = _last_json(out_txt)
+        if val is not None:
+            extra[tag] = {"status": "ok_partial_then_hang",
+                          "timeout_s": timeout, **val}
+            print(f"{tag}: partial-then-hang {val}", file=sys.stderr)
+        else:
+            extra[tag] = {"status": "hang", "timeout_s": timeout}
+            print(f"{tag}: HANG (>{timeout}s)", file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -229,81 +247,70 @@ print(json.dumps(out))
 """
 
 FUSED_CODE = r"""
-import time, json
+import time, json, os
 import numpy as np, jax, jax.numpy as jnp
 from stereomatch_tpu.config import production_mst_config
 from stereomatch_tpu.models.mst import _fused_capacities
 from stereomatch_tpu.models.sgbm_mst import (
-    _default_sgbm_cfg, _sgbm_mst_frame_fused)
+    _default_sgbm_cfg, _sgbm_mst_frame_fused, _mst_refine_frame_fused)
 from stereomatch_tpu.apps.stereo_yin import builtin_cost_volumes
-h, w, d = 960, 1280, 128
+T0 = time.time()
+BUDGET = float(os.environ.get("PROBE_BUDGET_S", "870"))
+def left_s():
+    return BUDGET - (time.time() - T0)
+d = 128
 rng = np.random.default_rng(0)
-img_l = (rng.random((h, w, 3)) * 255).astype(np.float32)
+img_l = (rng.random((960, 1280, 3)) * 255).astype(np.float32)
 for _ in range(3):
     img_l = (img_l + np.roll(img_l, 1, 0) + np.roll(img_l, 1, 1)) / 3
 img_r = np.roll(img_l, -7, axis=1)  # timing-only synthetic pair
-out = {}
-# attempt ladder: (scan backend, frame size). The tunnel worker crashes
-# TRANSIENTLY on the full-size fused program some days (like the PM
-# probe); after a crash the worker needs ~15 s to restart, and a
-# half-size fallback still lands a measured fused number.
-attempts = [(True, 960, 1280), (False, 960, 1280), (True, 480, 640)]
-for ai, (on_tpu, h, w) in enumerate(attempts):
-    if ai:
-        time.sleep(30)  # let a crashed tunnel worker restart
+
+def run_size(h, w, on_tpu, with_video):
+    bl = jnp.asarray(img_l[:h, :w])
+    br = jnp.asarray(img_r[:h, :w])
+    jax.block_until_ready(br)
+    cfg = production_mst_config(d, on_tpu=on_tpu, forest_backend="device")
+    scfg = _default_sgbm_cfg(cfg)
+    tmax, adj_cap = _fused_capacities(h, w, cfg)
+
+    @jax.jit
+    def frame(bl, br, key):
+        vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
+        return _sgbm_mst_frame_fused(
+            bl, br, vl, vr, key, cfg, scfg, 4, 2.0, 2, h, w, tmax,
+            adj_cap, "disp2")
+
+    t0 = time.time()
+    dl, dr = frame(bl, br, jax.random.PRNGKey(0))
+    float(jnp.sum(dl) + jnp.sum(dr))
+    t1 = time.time()
+    dl, dr = frame(bl, br, jax.random.PRNGKey(1))
+    float(jnp.sum(dl) + jnp.sum(dr))
+    t2 = time.time()
+    ent = {"compile_s": round(t1 - t0, 1), "s_per_frame": round(t2 - t1, 2),
+           "scan_backend": cfg.scan_backend,
+           "config": f"{w}x{h}x{d} bf16 volume, device forest, F=4/view "
+                     "mn=2 ci=1, disp2 right seed"}
+    # the compiler's own cost model for the whole frame program — an
+    # independent cross-check of the hand-derived analytic bytes the fps
+    # headline projects from
     try:
-        # EVERYTHING per-attempt inside the try: even the H2D upload
-        # raises UNAVAILABLE while the worker is still restarting
-        bl = jnp.asarray(img_l[:h, :w])
-        br = jnp.asarray(img_r[:h, :w])
-        jax.block_until_ready(br)
-        cfg = production_mst_config(d, on_tpu=on_tpu, forest_backend="device")
-        scfg = _default_sgbm_cfg(cfg)
-        tmax, adj_cap = _fused_capacities(h, w, cfg)
-
-        @jax.jit
-        def frame(bl, br, key):
-            vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
-            return _sgbm_mst_frame_fused(
-                bl, br, vl, vr, key, cfg, scfg, 4, 2.0, 2, h, w, tmax,
-                adj_cap, "disp2")
-
-        t0 = time.time()
-        dl, dr = frame(bl, br, jax.random.PRNGKey(0))
-        float(jnp.sum(dl) + jnp.sum(dr))
-        t1 = time.time()
-        dl, dr = frame(bl, br, jax.random.PRNGKey(1))
-        float(jnp.sum(dl) + jnp.sum(dr))
-        t2 = time.time()
-        out.update({"compile_s": round(t1 - t0, 1),
-                    "s_per_frame": round(t2 - t1, 2),
-                    "scan_backend": cfg.scan_backend,
-                    "config": f"{w}x{h}x{d} bf16 volume, device forest, "
-                              "F=4/view mn=2 ci=1, disp2 right seed"})
-        # the compiler's own cost model for the whole frame program —
-        # an independent cross-check of the hand-derived analytic bytes
-        # the fps headline projects from
+        ca = frame.lower(bl, br, jax.random.PRNGKey(0)).compile(
+            ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+        ent["xla_bytes_accessed_gb"] = round(gb, 2)
+        ent["xla_gflops"] = round(float(ca.get("flops", 0.0)) / 1e9, 1)
+        if gb > 0:
+            ent["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
+    except Exception as e:
+        ent["xla_cost_analysis_error"] = str(e)[:120]
+    if with_video:
+        # VIDEO steady state: the refine-only frame program seeded by the
+        # frame just produced — measured s/frame with NO SGBM pass,
+        # 2 truncated-ladder iterations/view (the GT-gated recipe)
         try:
-            ca = frame.lower(bl, br, jax.random.PRNGKey(0)).compile(
-                ).cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            gb = float(ca.get("bytes accessed", 0.0)) / 1e9
-            out["xla_bytes_accessed_gb"] = round(gb, 2)
-            out["xla_gflops"] = round(float(ca.get("flops", 0.0)) / 1e9, 1)
-            if gb > 0:
-                out["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
-        except Exception as e:
-            out["xla_cost_analysis_error"] = str(e)[:120]
-
-        # VIDEO steady state: the refine-only frame program seeded by
-        # the frame just produced (models/sgbm_mst.py::
-        # _mst_refine_frame_fused) — a measured s/frame with NO SGBM
-        # pass, 2 truncated-ladder iterations/view (the GT-gated recipe)
-        try:
-            from stereomatch_tpu.models.sgbm_mst import (
-                _mst_refine_frame_fused)
-
             @jax.jit
             def vframe(bl, br, pdl, pdr, key):
                 vl, vr = builtin_cost_volumes(bl[..., ::-1], br[..., ::-1], d)
@@ -331,12 +338,34 @@ for ai, (on_tpu, h, w) in enumerate(attempts):
                     vid["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
             except Exception:
                 pass
-            out["video_steady_state"] = vid
+            ent["video_steady_state"] = vid
         except Exception as e:
-            out["video_steady_state"] = {"error": str(e)[:160]}
+            ent["video_steady_state"] = {"error": str(e)[:160]}
+    return ent
+
+out = {}
+# 1) the guaranteed measured number: 640x480 compiles and runs even on
+# days when the tunnel worker crashes on the full-size program
+try:
+    out["size_640x480"] = run_size(480, 640, True, with_video=True)
+except Exception as e:
+    out["error_640x480"] = str(e)[:160]
+# intermediate print: the bench salvages this line if the full-size
+# attempt below hangs past the probe timeout
+print(json.dumps(out), flush=True)
+# 2) full size only if the remaining budget can absorb a slow crash
+# (measured: a crashing full-size attempt burns ~10 min through the
+# tunnel — compile succeeds, execution kills the worker)
+for on_tpu in (True, False):
+    if left_s() < 420:
+        out.setdefault("full_1280x960", {"status": "skipped_budget"})
+        break
+    try:
+        out["full_1280x960"] = run_size(960, 1280, on_tpu, with_video=False)
         break
     except Exception as e:
-        out[f"error_{'pallas' if on_tpu else 'xla'}_{w}x{h}"] = str(e)[:160]
+        out[f"error_full_{'pallas' if on_tpu else 'xla'}"] = str(e)[:160]
+        time.sleep(30)  # let the crashed worker restart
 print(json.dumps(out))
 """
 

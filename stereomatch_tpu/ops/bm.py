@@ -30,13 +30,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import BMConfig
 from .sgbm import xsobel_clipped
 
 __all__ = ["bm_disparity", "BMOutput"]
 
-_BIG = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-level jax array would initialize the
+# backend at import time (and fail imports outright while a crashed
+# tunnel worker restarts); np.float32 has identical dtype semantics
+_BIG = np.float32(1e9)
 
 
 class BMOutput(NamedTuple):

@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import CoupledConfig
 from .patchmatch import PlaneState, _nz
@@ -165,7 +166,7 @@ def huber_rof_field_step(
     theta_d: float | jax.Array,
     theta_n: float | jax.Array,
     eps: float = 0.001,
-    step: float = 1.0 / jnp.sqrt(8.0).item(),
+    step: float = float(1.0 / np.sqrt(8.0)),  # np: a jnp default would run on-device at IMPORT
 ) -> HuberFields:
     """One dual+primal Huber-ROF step on (vd, vnx, vny) toward the data
     fields (kernels .cu:3903-4056; constants: eps .cu:3938, steps

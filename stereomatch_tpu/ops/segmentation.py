@@ -22,10 +22,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["boruvka_segment", "segment_image"]
 
-_INF = jnp.float32(3.0e38)
+# np scalar, NOT jnp: a module-level jax array would initialize the
+# backend at import time (and fail imports outright while a crashed
+# tunnel worker restarts); np.float32 has identical dtype semantics
+_INF = np.float32(3.0e38)
 
 
 def _grid_edges(wr: jax.Array, wd: jax.Array):

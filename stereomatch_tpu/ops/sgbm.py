@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SGBMConfig
 
@@ -44,7 +45,10 @@ __all__ = [
     "SGBMOutput",
 ]
 
-_BIG = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-level jax array would initialize the
+# backend at import time (and fail imports outright while a crashed
+# tunnel worker restarts); np.float32 has identical dtype semantics
+_BIG = np.float32(1e9)
 
 
 def xsobel_clipped(img: jax.Array, cap: int = 63) -> jax.Array:

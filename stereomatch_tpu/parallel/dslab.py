@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["wta_disparity_dslab"]
 
-_BIG = jnp.float32(3e38)
+# np scalar, NOT jnp: a module-level jax array would initialize the
+# backend at import time (and fail imports outright while a crashed
+# tunnel worker restarts); np.float32 has identical dtype semantics
+_BIG = np.float32(3e38)
 
 
 def wta_disparity_dslab(
