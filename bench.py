@@ -291,19 +291,21 @@ def run_size(h, w, on_tpu, with_video):
            "scan_backend": cfg.scan_backend,
            "config": f"{w}x{h}x{d} bf16 volume, device forest, F=4/view "
                      "mn=2 ci=1, disp2 right seed"}
-    # the compiler's own cost model for the whole frame program — an
-    # independent cross-check of the hand-derived analytic bytes the fps
-    # headline projects from
+    # HLO cost-model figures, recorded as a LOOSE UPPER BOUND only: the
+    # TPU backend's per-op accounting charges operands per use (block
+    # constants, gather sources), so "bytes accessed" lands ~2 orders of
+    # magnitude above physical HBM traffic — the measured frame time
+    # itself refutes it (e.g. 1688 GB at this chip's ~2.7 GB/s would be
+    # ~10 min/frame vs the measured ~12 s). The headline's analytic
+    # byte model is the HBM-traffic estimate; this is not.
     try:
         ca = frame.lower(bl, br, jax.random.PRNGKey(0)).compile(
             ).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         gb = float(ca.get("bytes accessed", 0.0)) / 1e9
-        ent["xla_bytes_accessed_gb"] = round(gb, 2)
+        ent["xla_hlo_bytes_accessed_gb_upper_bound"] = round(gb, 2)
         ent["xla_gflops"] = round(float(ca.get("flops", 0.0)) / 1e9, 1)
-        if gb > 0:
-            ent["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
     except Exception as e:
         ent["xla_cost_analysis_error"] = str(e)[:120]
     if with_video:
@@ -333,9 +335,7 @@ def run_size(h, w, on_tpu, with_video):
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0] if ca else {}
                 gb = float(ca.get("bytes accessed", 0.0)) / 1e9
-                vid["xla_bytes_accessed_gb"] = round(gb, 2)
-                if gb > 0:
-                    vid["xla_bytes_v5e_roofline_fps"] = round(819.0 / gb, 1)
+                vid["xla_hlo_bytes_accessed_gb_upper_bound"] = round(gb, 2)
             except Exception:
                 pass
             ent["video_steady_state"] = vid
@@ -803,10 +803,11 @@ def main():
     waited = 0
     while not _chip_alive():
         print(f"tpu backend unreachable (waited {waited}s)", file=sys.stderr)
-        if waited >= min(600, BUDGET_S / 3):
+        if waited >= min(1200, BUDGET_S / 2):
             head = {
                 "metric": "sgbm_plus_mst_seeded_v5e_analytic_fps_1280x960x128",
                 "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+                "note": "see BENCH_LOCAL_r04.json (committed) for the last good in-repo measurements",
                 "extra": {"error": "tunneled TPU backend unreachable at "
                           f"bench time (health probe hung {waited}s); see "
                           "BENCH of the previous run for the last good "
@@ -960,10 +961,14 @@ def main():
         _compose(extra, fps)
     except Exception as e:
         print(f"sgbm_plus_mst composition skipped: {e}", file=sys.stderr)
-    head = _headline(extra, fps)
-    head["extra"] = extra
-    print(json.dumps(head), flush=True)
-    print(f"[headline emitted at {time.time()-T_START:.0f}s]", file=sys.stderr)
+    def _emit(note=""):
+        head = _headline(extra, fps)
+        head["extra"] = extra
+        print(json.dumps(head), flush=True)
+        print(f"[headline emitted at {time.time()-T_START:.0f}s{note}]",
+              file=sys.stderr)
+
+    _emit()
 
     # =====================================================================
     # PHASE B — extras, each gated on the remaining budget (highest value
@@ -974,9 +979,10 @@ def main():
     # XLA program on the chip — a single measured s/frame + the XLA cost
     # model's own bytes-accessed cross-check. ----
     _subprocess_probe("sgbm_mst_fused_e2e", FUSED_CODE, 900, extra, min_s=240)
+    _emit(" +fused")
 
     # ---- cost-volume pipeline (both views) ----
-    if _budget_ok("costvolume_pipeline", 120, extra):
+    if _budget_ok("costvolume_pipeline", 300, extra):
         try:
             from stereomatch_tpu.config import (
                 CostVolumeConfig,
@@ -1015,7 +1021,7 @@ def main():
             print(f"costvolume bench skipped: {e}", file=sys.stderr)
 
     # ---- remaining engines: BM + census at headline size ----
-    if _budget_ok("bm_census", 120, extra):
+    if _budget_ok("bm_census", 240, extra):
         extra.pop("bm_census", None)
         try:
             from stereomatch_tpu.config import BMConfig, CensusConfig
@@ -1050,7 +1056,7 @@ def main():
             print(f"bm/census bench skipped: {e}", file=sys.stderr)
 
     # ---- banded SGBM at the reference's NATIVE scale (2048x1536x256) ----
-    if _budget_ok("sgbm_banded_2048x1536x256_bf16", 240, extra):
+    if _budget_ok("sgbm_banded_2048x1536x256_bf16", 400, extra):
         extra.pop("sgbm_banded_2048x1536x256_bf16", None)
         try:
             from stereomatch_tpu.ops.sgbm import sgbm_disparity_banded
@@ -1084,7 +1090,7 @@ def main():
     # ---- coupled engines (Family E alternations, dead in the reference,
     # live here): the non-window AL-TGV<->coupled-WTA branch at a bounded
     # size (the window branch crashes the tunnel worker like PatchMatch)
-    if _budget_ok("coupled_wta_480x640x64", 120, extra):
+    if _budget_ok("coupled_wta_480x640x64", 240, extra):
         extra.pop("coupled_wta_480x640x64", None)
         try:
             from stereomatch_tpu.config import CoupledConfig
@@ -1132,12 +1138,15 @@ def main():
         except Exception as e:
             print(f"treebuild bench skipped: {e}", file=sys.stderr)
 
+    _emit(" +inline_engines")
+
     # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
     # seeded-ladder configuration, ONE iteration, candidate-chunked —
     # proves the volume-scale program compiles and runs on-chip (bf16
     # volume 1.6 GB resident + node-order copy). ----
     _subprocess_probe("mst_native_2048x1536x256", MST_NATIVE_CODE, 900,
                       extra, min_s=240)
+    _emit(" +mst_native")
 
     # ---- on-device forest builder (ops/device_forest.py): the host-free
     # alternative to treebuild — segmentation + Boruvka MST + Euler
@@ -1149,11 +1158,13 @@ def main():
     # (~log2 N passes over 2E arcs), not volume bound. ----
     _subprocess_probe("forest_device", FOREST_DEVICE_CODE, 600, extra,
                       min_s=180)
+    _emit(" +forest_device")
 
     # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
     # The tunnel worker has crashed on the large program on some days
     # (recorded honestly; isolated in a subprocess) ----
     _subprocess_probe("patchmatch", PM_CODE, 900, extra, min_s=180)
+    _emit(" +patchmatch")
 
     # ---- Pallas SGBM backend: try-compile with timeout. LAST on
     # purpose: the tunnel's remote compiler handles <=512-row shapes but
