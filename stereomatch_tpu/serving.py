@@ -36,6 +36,7 @@ from .config import MSTConfig, SGBMConfig
 
 __all__ = [
     "CompiledPipeline",
+    "StagedPipeline",
     "StereoStreamServer",
     "VideoStreamServer",
     "compile_sgbm_mst_server",
@@ -113,6 +114,56 @@ class CompiledPipeline:
                     f"fixed-shape — build one per resolution"
                 )
         return self._compiled(*args)
+
+
+class StagedPipeline:
+    """A frame function split into a CHAIN of smaller AOT executables
+    handed device arrays (no host sync between stages — XLA dispatch is
+    async, so the chain enqueues like one program).
+
+    Same interface as CompiledPipeline, so the stream executors accept
+    either. Use it when one monolithic frame program is too big for the
+    worker: program-size limits, preemption-prone fleets — and this
+    environment's tunneled chip, whose worker dies executing the fused
+    full-size SGBM+3DMST program while every stage of the staged chain
+    runs (bench.py STAGED_CODE measures the staged composition at the
+    headline 1280x960x128). Cost/memory analyses aggregate over stages
+    (peak HBM is the max stage peak plus chained intermediates — an
+    upper-bound sum is reported).
+    """
+
+    def __init__(self, stages: Sequence[CompiledPipeline],
+                 driver: Callable[..., Any],
+                 in_specs: Sequence[jax.ShapeDtypeStruct]):
+        self.stages = tuple(stages)
+        self._driver = driver
+        self._specs = tuple(in_specs)
+
+    @property
+    def in_specs(self) -> tuple[jax.ShapeDtypeStruct, ...]:
+        return self._specs
+
+    @property
+    def flops(self) -> float:
+        return float(sum(s.flops for s in self.stages))
+
+    @property
+    def bytes_accessed(self) -> float:
+        return float(sum(s.bytes_accessed for s in self.stages))
+
+    @property
+    def peak_hbm_bytes(self) -> int:
+        return int(sum(s.peak_hbm_bytes for s in self.stages))
+
+    def __call__(self, *args):
+        for a, s in zip(args, self._specs):
+            if tuple(a.shape) != tuple(s.shape):
+                raise ValueError(
+                    f"input shape {tuple(a.shape)} != compiled spec "
+                    f"{tuple(s.shape)}; serving executables are "
+                    f"fixed-shape — build one per resolution"
+                )
+        return self._driver(*args)
 
 
 @dataclass
@@ -254,6 +305,7 @@ def compile_sgbm_mst_server(
     on_tpu: bool | None = None,
     retries: int = 0,
     retry_backoff_s: float = 0.0,
+    staged: bool = False,
 ) -> StereoStreamServer:
     """AOT-compile the production north-star pipeline for an HxW stream.
 
@@ -264,10 +316,23 @@ def compile_sgbm_mst_server(
     Config defaults to `config.production_mst_config` (PARITY.md
     "Production seeded config"). Frames are keyed by submission index so
     the RNG stream is reproducible per frame.
+
+    `staged=True` compiles the SAME composition as a chain of four
+    smaller executables (cost volumes / SGBM seeds / per-view refine)
+    handed device arrays — identical math and RNG stream, sized for
+    workers that cannot execute the monolithic frame program (see
+    StagedPipeline). Output parity with the fused server is tested
+    (tests/test_serving.py).
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
-    from .models.sgbm_mst import _default_sgbm_cfg, _sgbm_mst_frame_fused
+    from .models.sgbm_mst import (
+        _default_sgbm_cfg,
+        _fused_refine_view,
+        _gray_from_bgr,
+        _seed_pair,
+        _sgbm_mst_frame_fused,
+    )
     from .apps.stereo_yin import builtin_cost_volumes
 
     if cfg is None:
@@ -279,19 +344,60 @@ def compile_sgbm_mst_server(
     d = cfg.max_disp
     tmax, adj_cap = _fused_capacities(h, w, cfg)
 
-    def frame(left_bgr, right_bgr, key):
-        vl, vr = builtin_cost_volumes(
-            left_bgr[..., ::-1], right_bgr[..., ::-1], d
-        )
-        return _sgbm_mst_frame_fused(
-            left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
-            fine_iterations, refine_start, max_neighbors, h, w,
-            tmax, adj_cap, right_seed,
-        )
-
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    pipe = CompiledPipeline(frame, (img, img, key))
+    if staged:
+        vol = jax.ShapeDtypeStruct((h, w, d), jnp.float32)
+        dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+
+        def vols(lb, rb):
+            return builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
+
+        def seeds(lb, rb):
+            return _seed_pair(
+                _gray_from_bgr(lb), _gray_from_bgr(rb), sgbm_cfg, right_seed
+            )
+
+        def refine(view_idx):
+            # same key split as _sgbm_mst_frame_fused: left = split[0],
+            # right = split[1] — identical RNG stream to the fused program
+            def f(bgr, v, sd, k):
+                return _fused_refine_view(
+                    bgr, v, sd, jax.random.split(k)[view_idx], cfg, h, w,
+                    tmax, adj_cap, fine_iterations, refine_start,
+                    max_neighbors,
+                )
+
+            return f
+
+        vol_pipe = CompiledPipeline(vols, (img, img))
+        seed_pipe = CompiledPipeline(seeds, (img, img))
+        ref_l = CompiledPipeline(refine(0), (img, vol, dsp, key))
+        ref_r = CompiledPipeline(refine(1), (img, vol, dsp, key))
+
+        def driver(left_bgr, right_bgr, k):
+            vl, vr = vol_pipe(left_bgr, right_bgr)
+            dl, dr = seed_pipe(left_bgr, right_bgr)
+            return (
+                ref_l(left_bgr, vl, dl, k),
+                ref_r(right_bgr, vr, dr, k),
+            )
+
+        pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+            (vol_pipe, seed_pipe, ref_l, ref_r), driver, (img, img, key)
+        )
+    else:
+        def frame(left_bgr, right_bgr, key):
+            vl, vr = builtin_cost_volumes(
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+            )
+            return _sgbm_mst_frame_fused(
+                left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
+                fine_iterations, refine_start, max_neighbors, h, w,
+                tmax, adj_cap, right_seed,
+            )
+
+        pipe = CompiledPipeline(frame, (img, img, key))
     server = StereoStreamServer(pipe, capacity=capacity, retries=retries,
                                 retry_backoff_s=retry_backoff_s)
 

@@ -131,6 +131,33 @@ class TestSgbmMstServer:
         assert server.pipeline.flops > 0
         assert server.pipeline.peak_hbm_bytes >= 0
 
+    def test_staged_pipeline_matches_fused(self, server, pair):
+        """staged=True (four chained executables, StagedPipeline) is the
+        SAME composition and RNG stream as the fused single-program
+        server — only the program partitioning differs, so any output
+        difference is XLA fusion fp drift across stage boundaries."""
+        from stereomatch_tpu.config import production_mst_config
+        from stereomatch_tpu.serving import StagedPipeline
+
+        cfg = production_mst_config(
+            self.D, on_tpu=False, min_cc_size=20, c=800.0
+        )
+        staged = compile_sgbm_mst_server(
+            self.H, self.W, cfg=cfg, fine_iterations=2, capacity=2,
+            staged=True,
+        )
+        assert isinstance(staged.pipeline, StagedPipeline)
+        left, right = pair
+        sl, sr = staged.collect(staged.submit_pair(left, right, seed=0))
+        fl, fr = server.collect(server.submit_pair(left, right, seed=0))
+        for s, f in ((sl, fl), (sr, fr)):
+            # discrete label flips only at fp ties: allow <1% of pixels
+            assert np.mean(np.abs(s - f) > 0.5) < 0.01
+            assert np.mean(np.abs(s - f)) < 0.05
+        # cost introspection aggregates over the stage executables
+        assert staged.pipeline.flops >= server.pipeline.flops * 0.5
+        assert staged.pipeline.in_specs[0].shape == (self.H, self.W, 3)
+
 
 class _Poison:
     """Stands in for a device buffer lost to a worker restart:
