@@ -166,6 +166,61 @@ class StagedPipeline:
         return self._driver(*args)
 
 
+def _staged_vol_pipe(h: int, w: int, d: int) -> CompiledPipeline:
+    """Stage executable: BGR pair -> (left, right) cost volumes."""
+    from .apps.stereo_yin import builtin_cost_volumes
+
+    img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
+
+    def vols(lb, rb):
+        return builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
+
+    return CompiledPipeline(vols, (img, img))
+
+
+def _staged_seed_pipe(h: int, w: int, sgbm_cfg: SGBMConfig,
+                      right_seed: str) -> CompiledPipeline:
+    """Stage executable: BGR pair -> (left, right) SGBM seed maps."""
+    from .models.sgbm_mst import _gray_from_bgr, _seed_pair
+
+    img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
+
+    def seeds(lb, rb):
+        return _seed_pair(
+            _gray_from_bgr(lb), _gray_from_bgr(rb), sgbm_cfg, right_seed
+        )
+
+    return CompiledPipeline(seeds, (img, img))
+
+
+def _staged_refine_pipe(cfg: MSTConfig, h: int, w: int, d: int, tmax: int,
+                        adj_cap: int, iterations: int, refine_start,
+                        max_neighbors: int, view_idx: int,
+                        clip_span: float | None = None) -> CompiledPipeline:
+    """Stage executable: one view's forest + seeded label refinement.
+
+    Splits the frame key exactly like _sgbm_mst_frame_fused (left =
+    split[0], right = split[1]) so the staged chain reproduces the fused
+    program's RNG stream. `clip_span` mirrors the video refine program's
+    clip of the previous frame's maps."""
+    from .models.sgbm_mst import _fused_refine_view
+
+    img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
+    vol = jax.ShapeDtypeStruct((h, w, d), jnp.float32)
+    dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    def f(bgr, v, sd, k):
+        if clip_span is not None:
+            sd = jnp.clip(sd, 0.0, clip_span)
+        return _fused_refine_view(
+            bgr, v, sd, jax.random.split(k)[view_idx], cfg, h, w,
+            tmax, adj_cap, iterations, refine_start, max_neighbors,
+        )
+
+    return CompiledPipeline(f, (img, vol, dsp, key))
+
+
 @dataclass
 class _Pending:
     ticket: int
@@ -326,13 +381,7 @@ def compile_sgbm_mst_server(
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
-    from .models.sgbm_mst import (
-        _default_sgbm_cfg,
-        _fused_refine_view,
-        _gray_from_bgr,
-        _seed_pair,
-        _sgbm_mst_frame_fused,
-    )
+    from .models.sgbm_mst import _default_sgbm_cfg, _sgbm_mst_frame_fused
     from .apps.stereo_yin import builtin_cost_volumes
 
     if cfg is None:
@@ -347,33 +396,15 @@ def compile_sgbm_mst_server(
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     if staged:
-        vol = jax.ShapeDtypeStruct((h, w, d), jnp.float32)
-        dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
-
-        def vols(lb, rb):
-            return builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
-
-        def seeds(lb, rb):
-            return _seed_pair(
-                _gray_from_bgr(lb), _gray_from_bgr(rb), sgbm_cfg, right_seed
+        vol_pipe = _staged_vol_pipe(h, w, d)
+        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed)
+        ref_l, ref_r = (
+            _staged_refine_pipe(
+                cfg, h, w, d, tmax, adj_cap, fine_iterations,
+                refine_start, max_neighbors, i,
             )
-
-        def refine(view_idx):
-            # same key split as _sgbm_mst_frame_fused: left = split[0],
-            # right = split[1] — identical RNG stream to the fused program
-            def f(bgr, v, sd, k):
-                return _fused_refine_view(
-                    bgr, v, sd, jax.random.split(k)[view_idx], cfg, h, w,
-                    tmax, adj_cap, fine_iterations, refine_start,
-                    max_neighbors,
-                )
-
-            return f
-
-        vol_pipe = CompiledPipeline(vols, (img, img))
-        seed_pipe = CompiledPipeline(seeds, (img, img))
-        ref_l = CompiledPipeline(refine(0), (img, vol, dsp, key))
-        ref_r = CompiledPipeline(refine(1), (img, vol, dsp, key))
+            for i in (0, 1)
+        )
 
         def driver(left_bgr, right_bgr, k):
             vl, vr = vol_pipe(left_bgr, right_bgr)
@@ -496,6 +527,7 @@ def compile_mst_video_server(
     on_tpu: bool | None = None,
     retries: int = 0,
     retry_backoff_s: float = 0.0,
+    staged: bool = False,
 ) -> VideoStreamServer:
     """AOT-compile the VIDEO serving pair for an HxW stream: the
     SGBM-seeded keyframe program plus the temporal refine-only program
@@ -511,6 +543,12 @@ def compile_mst_video_server(
     pixels — rs=2 at 3 px drift doubled bad2 on the GT sequence).
     temporal_iterations likewise defaults to the measured recipe (2:
     better than 4 on the GT sequence — tests/test_mst_video.py).
+
+    `staged=True` compiles both frame programs as chains of smaller
+    executables (see StagedPipeline / compile_sgbm_mst_server): the
+    keyframe chain is volumes/seeds/per-view refine; the temporal chain
+    is volumes/per-view refine, SHARING the keyframe's volume-build
+    executable. Identical math and RNG streams to the fused pair.
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
@@ -533,31 +571,65 @@ def compile_mst_video_server(
     tmax, adj_cap = _fused_capacities(h, w, cfg)
     span = float(d - 1)
 
-    def keyframe(left_bgr, right_bgr, key):
-        vl, vr = builtin_cost_volumes(
-            left_bgr[..., ::-1], right_bgr[..., ::-1], d
-        )
-        return _sgbm_mst_frame_fused(
-            left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
-            fine_iterations, refine_start, max_neighbors, h, w,
-            tmax, adj_cap, right_seed,
-        )
-
-    def refine(left_bgr, right_bgr, prev_dl, prev_dr, key):
-        vl, vr = builtin_cost_volumes(
-            left_bgr[..., ::-1], right_bgr[..., ::-1], d
-        )
-        return _mst_refine_frame_fused(
-            left_bgr, right_bgr, vl, vr,
-            jnp.clip(prev_dl, 0.0, span), jnp.clip(prev_dr, 0.0, span),
-            key, cfg, ti, trs, max_neighbors, h, w, tmax, adj_cap,
-        )
-
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    key_pipe = CompiledPipeline(keyframe, (img, img, key))
-    ref_pipe = CompiledPipeline(refine, (img, img, dsp, dsp, key))
+    if staged:
+        vol_pipe = _staged_vol_pipe(h, w, d)
+        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed)
+        kf_l, kf_r = (
+            _staged_refine_pipe(
+                cfg, h, w, d, tmax, adj_cap, fine_iterations,
+                refine_start, max_neighbors, i,
+            )
+            for i in (0, 1)
+        )
+        rf_l, rf_r = (
+            _staged_refine_pipe(
+                cfg, h, w, d, tmax, adj_cap, ti, trs, max_neighbors, i,
+                clip_span=span,
+            )
+            for i in (0, 1)
+        )
+
+        def kf_driver(lb, rb, k):
+            vl, vr = vol_pipe(lb, rb)
+            dl, dr = seed_pipe(lb, rb)
+            return kf_l(lb, vl, dl, k), kf_r(rb, vr, dr, k)
+
+        def rf_driver(lb, rb, pdl, pdr, k):
+            vl, vr = vol_pipe(lb, rb)
+            return rf_l(lb, vl, pdl, k), rf_r(rb, vr, pdr, k)
+
+        key_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+            (vol_pipe, seed_pipe, kf_l, kf_r), kf_driver, (img, img, key)
+        )
+        ref_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+            (vol_pipe, rf_l, rf_r), rf_driver, (img, img, dsp, dsp, key)
+        )
+    else:
+        def keyframe(left_bgr, right_bgr, key):
+            vl, vr = builtin_cost_volumes(
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+            )
+            return _sgbm_mst_frame_fused(
+                left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
+                fine_iterations, refine_start, max_neighbors, h, w,
+                tmax, adj_cap, right_seed,
+            )
+
+        def refine(left_bgr, right_bgr, prev_dl, prev_dr, key):
+            vl, vr = builtin_cost_volumes(
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+            )
+            return _mst_refine_frame_fused(
+                left_bgr, right_bgr, vl, vr,
+                jnp.clip(prev_dl, 0.0, span), jnp.clip(prev_dr, 0.0, span),
+                key, cfg, ti, trs, max_neighbors, h, w, tmax, adj_cap,
+            )
+
+        key_pipe = CompiledPipeline(keyframe, (img, img, key))
+        ref_pipe = CompiledPipeline(refine, (img, img, dsp, dsp, key))
     return VideoStreamServer(
         key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every,
         retries=retries, retry_backoff_s=retry_backoff_s,

@@ -407,3 +407,32 @@ class TestVideoServer:
             jnp.asarray(left), jnp.asarray(right), jax.random.PRNGKey(0)
         )
         np.testing.assert_array_equal(dl, np.asarray(dl_direct))
+
+    def test_staged_video_matches_fused(self, server, pair):
+        """staged=True video serving: both chained frame programs
+        (keyframe and temporal refine) reproduce the fused pair's
+        outputs — same composition, same RNG streams."""
+        from stereomatch_tpu.config import production_mst_config
+        from stereomatch_tpu.serving import StagedPipeline
+
+        cfg = production_mst_config(
+            self.D, on_tpu=False, min_cc_size=20, c=800.0
+        )
+        staged = compile_mst_video_server(
+            self.H, self.W, cfg=cfg, fine_iterations=2,
+            temporal_iterations=1, capacity=2, staged=True,
+        )
+        assert isinstance(staged.pipeline, StagedPipeline)
+        assert isinstance(staged.refine_pipeline, StagedPipeline)
+        # the temporal chain shares the keyframe chain's volume builder
+        assert staged.refine_pipeline.stages[0] is staged.pipeline.stages[0]
+        left, right = pair
+        server.reset()
+        ts = [staged.submit_pair(left, right) for _ in range(2)]
+        tf = [server.submit_pair(left, right) for _ in range(2)]
+        for t_s, t_f in zip(ts, tf):
+            (sl, sr), (fl, fr) = staged.collect(t_s), server.collect(t_f)
+            for s, f in ((sl, fl), (sr, fr)):
+                # discrete label flips only at fp ties: <1% of pixels
+                assert np.mean(np.abs(s - f) > 0.5) < 0.01
+                assert np.mean(np.abs(s - f)) < 0.05
