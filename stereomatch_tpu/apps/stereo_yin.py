@@ -77,7 +77,9 @@ def run(
     cal = load_stereo_calibration(calib)
     if scale != 1.0:
         cal = cal.rescaled(scale)
-    geom = rectified_geometry(cal, (w, h))
+    # alpha=0 valid-pixels-only zoom: the ACTIVE StereoYin rectification
+    # (src/stereo_Yin.cpp:135 passes CALIB_ZERO_DISPARITY, 0, img_size)
+    geom = rectified_geometry(cal, (w, h), alpha=0.0)
     with timer.stage("rectify"):
         rl = remap_bilinear(
             jnp.asarray(left.astype(np.float32)), jnp.asarray(geom.map1x), jnp.asarray(geom.map1y)

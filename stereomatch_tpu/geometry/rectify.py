@@ -1,8 +1,11 @@
 """Stereo rectification: Bouguet's algorithm + undistort/rectify maps.
 
 Re-implements (without OpenCV) the geometry path the reference uses:
-  - cv::stereoRectify with CALIB_ZERO_DISPARITY, alpha=-1
-    (call site: src/stereo_opencv.cpp:121, src/stereo_Yin.cpp:135)
+  - cv::stereoRectify with CALIB_ZERO_DISPARITY: alpha=-1 at
+    src/stereo_opencv.cpp:121 and alpha=0 (valid-pixels-only zoom) at the
+    ACTIVE StereoYin call, src/stereo_Yin.cpp:135 — both modes plus the
+    full free-scaling range and the valid-pixel ROI outputs are
+    implemented and cv2-5.0-oracle-gated (tests/test_geometry.py)
   - cv::initUndistortRectifyMap (src/stereo_opencv.cpp:124-125)
 
 Map computation is host-side numpy (it runs once per calibration); the
@@ -136,6 +139,37 @@ class RectifyResult:
     P1: np.ndarray
     P2: np.ndarray
     Q: np.ndarray
+    # valid-pixel ROIs (x, y, width, height) in the rectified image — the
+    # rectangles cv::stereoRectify hands the legacy CLI's BM config
+    # (src/stereo_opencv (copy).cpp:258-268)
+    roi1: tuple[int, int, int, int] = (0, 0, 0, 0)
+    roi2: tuple[int, int, int, int] = (0, 0, 0, 0)
+
+
+def _rectify_rectangles(M, D, R, P, image_size, n: int = 9):
+    """Inner (all-valid, inscribed) and outer (bounding) rectangles of
+    the source image mapped through undistortion + rectification —
+    OpenCV's getRectangles: an n x n grid over [0, W-1] x [0, H-1]
+    (cv2 5.0 samples pixel centers of the edge pixels; older releases
+    used [0, W] x [0, H] — the [0, W-1] grid matches the cv2 5.0 oracle
+    to ~1e-8 in the resulting scales, the [0, W] one only to ~1e-3),
+    pushed through undistortPoints(..., R, P). Returns (inner, outer)
+    as (x0, y0, w, h) float rects in rectified-pixel coordinates."""
+    nx, ny = image_size
+    xs = np.arange(n) * ((nx - 1) / (n - 1))
+    ys = np.arange(n) * ((ny - 1) / (n - 1))
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    und = undistort_points(pts, M, D, R=R, P=P).reshape(n, n, 2)
+    ox0, oy0 = und[..., 0].min(), und[..., 1].min()
+    ox1, oy1 = und[..., 0].max(), und[..., 1].max()
+    ix0 = und[:, 0, 0].max()  # left edge pushed right-most
+    ix1 = und[:, n - 1, 0].min()
+    iy0 = und[0, :, 1].max()
+    iy1 = und[n - 1, :, 1].min()
+    inner = (ix0, iy0, ix1 - ix0, iy1 - iy0)
+    outer = (ox0, oy0, ox1 - ox0, oy1 - oy0)
+    return inner, outer
 
 
 def stereo_rectify(
@@ -151,9 +185,15 @@ def stereo_rectify(
 ) -> RectifyResult:
     """Bouguet stereo rectification (cv::stereoRectify semantics).
 
-    image_size is (width, height). With alpha < 0 (the reference's call,
-    src/stereo_opencv.cpp:121) no alpha-scaling of the new camera matrix is
-    performed.
+    image_size is (width, height). With alpha < 0
+    (src/stereo_opencv.cpp:121) no free-scaling of the new camera matrix
+    is performed. With 0 <= alpha <= 1 the common focal length is scaled
+    by s0*(1-alpha) + s1*alpha, where s0 zooms until only valid pixels
+    remain visible (alpha=0 — the ACTIVE StereoYin call,
+    src/stereo_Yin.cpp:135 passes CALIB_ZERO_DISPARITY, 0) and s1 zooms
+    out until every source pixel is visible (alpha=1). Valid-pixel ROIs
+    are returned in every mode, as cv2 5.0 does (oracle-gated in
+    tests/test_geometry.py).
     """
     nx, ny = image_size
     M1 = np.asarray(M1, dtype=np.float64)
@@ -209,19 +249,65 @@ def stereo_rectify(
     else:
         cc_new[0, 0] = cc_new[1, 0] = cc_new[:, 0].mean()
 
-    P1 = np.zeros((3, 4))
-    P1[0, 0] = P1[1, 1] = fc_new
-    P1[2, 2] = 1.0
-    P1[0, 2], P1[1, 2] = cc_new[0]
+    # ---- free-scaling (alpha) + valid-pixel ROIs (cv2 5.0 semantics:
+    # ROIs come back in EVERY mode; alpha<0 means scale s=1). The inner/
+    # outer rectangles are measured through the UNSCALED P matrices; only
+    # the common focal is scaled (with new_size == image_size the
+    # principal points are unchanged). ----
+    P1u = np.zeros((3, 4))
+    P1u[0, 0] = P1u[1, 1] = fc_new
+    P1u[2, 2] = 1.0
+    P1u[0, 2], P1u[1, 2] = cc_new[0]
+    P2u = P1u.copy()
+    P2u[0, 2], P2u[1, 2] = cc_new[1]
 
+    inner1, outer1 = _rectify_rectangles(M1, D1, R1, P1u, image_size)
+    inner2, outer2 = _rectify_rectangles(M2, D2, R2, P2u, image_size)
+
+    cx1_0, cy1_0 = cc_new[0]
+    cx2_0, cy2_0 = cc_new[1]
+    # new image size == calibration image size here (the reference passes
+    # img_size straight through, src/stereo_Yin.cpp:135), so the centered
+    # principal points are the unscaled ones
+    cx1, cy1, cx2, cy2 = cx1_0, cy1_0, cx2_0, cy2_0
+    s = 1.0
+    if alpha >= 0:
+        alpha = min(alpha, 1.0)
+
+        def _s_view(cx, cy, cx0, cy0, rect, reduce_fn):
+            x0, y0, rw, rh = rect
+            return reduce_fn(
+                [cx / (cx0 - x0), cy / (cy0 - y0),
+                 (nx - 1 - cx) / (x0 + rw - cx0),
+                 (ny - 1 - cy) / (y0 + rh - cy0)]
+            )
+
+        s0 = max(_s_view(cx1, cy1, cx1_0, cy1_0, inner1, max),
+                 _s_view(cx2, cy2, cx2_0, cy2_0, inner2, max))
+        s1 = min(_s_view(cx1, cy1, cx1_0, cy1_0, outer1, min),
+                 _s_view(cx2, cy2, cx2_0, cy2_0, outer2, min))
+        s = s0 * (1 - alpha) + s1 * alpha
+        fc_new *= s
+
+    P1 = P1u.copy()
+    P1[0, 0] = P1[1, 1] = fc_new
+    P1[0, 2], P1[1, 2] = cx1, cy1
     P2 = P1.copy()
-    P2[0, 2], P2[1, 2] = cc_new[1]
+    P2[0, 2], P2[1, 2] = cx2, cy2
     P2[idx, 3] = t[idx] * fc_new  # baseline * focal
 
-    if alpha >= 0:
-        raise NotImplementedError(
-            "alpha >= 0 free-scaling not implemented; the reference uses alpha=-1"
-        )
+    def _roi(rect, cx0, cy0, cx, cy):
+        x0, y0, rw, rh = rect
+        rx = int(np.ceil((x0 - cx0) * s + cx))
+        ry = int(np.ceil((y0 - cy0) * s + cy))
+        rx1 = rx + int(np.floor(rw * s))
+        ry1 = ry + int(np.floor(rh * s))
+        # intersect with the image rectangle
+        ix, iy = max(rx, 0), max(ry, 0)
+        return (ix, iy, max(min(rx1, nx) - ix, 0), max(min(ry1, ny) - iy, 0))
+
+    roi1 = _roi(inner1, cx1_0, cy1_0, cx1, cy1)
+    roi2 = _roi(inner2, cx2_0, cy2_0, cx2, cy2)
 
     Q = np.zeros((4, 4))
     Q[0, 0] = Q[1, 1] = 1.0
@@ -231,7 +317,8 @@ def stereo_rectify(
     Q[3, 2] = -1.0 / t[idx]
     Q[3, 3] = (cc_new[0, idx] - cc_new[1, idx]) / t[idx]
 
-    return RectifyResult(R1=R1, R2=R2, P1=P1, P2=P2, Q=Q)
+    return RectifyResult(R1=R1, R2=R2, P1=P1, P2=P2, Q=Q,
+                         roi1=roi1, roi2=roi2)
 
 
 def init_undistort_rectify_map(
@@ -275,13 +362,19 @@ class RectifiedGeometry:
     map1y: np.ndarray
     map2x: np.ndarray
     map2y: np.ndarray
+    roi1: tuple[int, int, int, int] = (0, 0, 0, 0)
+    roi2: tuple[int, int, int, int] = (0, 0, 0, 0)
 
 
-def rectified_geometry(cal, image_size: tuple[int, int]) -> RectifiedGeometry:
+def rectified_geometry(cal, image_size: tuple[int, int],
+                       alpha: float = -1.0) -> RectifiedGeometry:
     """Full rectification setup from a StereoCalibration, mirroring the
     stereoRectify + initUndistortRectifyMap x2 sequence at
-    src/stereo_opencv.cpp:121-125. image_size is (width, height)."""
-    rect = stereo_rectify(cal.M1, cal.D1, cal.M2, cal.D2, image_size, cal.R, cal.T)
+    src/stereo_opencv.cpp:121-125 (alpha=-1 there; the StereoYin binary
+    passes alpha=0, src/stereo_Yin.cpp:135). image_size is
+    (width, height)."""
+    rect = stereo_rectify(cal.M1, cal.D1, cal.M2, cal.D2, image_size,
+                          cal.R, cal.T, alpha=alpha)
     m1x, m1y = init_undistort_rectify_map(cal.M1, cal.D1, rect.R1, rect.P1, image_size)
     m2x, m2y = init_undistort_rectify_map(cal.M2, cal.D2, rect.R2, rect.P2, image_size)
     return RectifiedGeometry(
@@ -294,4 +387,6 @@ def rectified_geometry(cal, image_size: tuple[int, int]) -> RectifiedGeometry:
         map1y=m1y,
         map2x=m2x,
         map2y=m2y,
+        roi1=rect.roi1,
+        roi2=rect.roi2,
     )

@@ -185,16 +185,34 @@ def sgbm_mst_stereo_fused(
     return MSTOutput(disp_l_checked, disp_r, valid)
 
 
-def _fused_refine_view(
-    bgr, vol, seed_disp, k, cfg: MSTConfig, h: int, w: int, tmax: int,
-    adj_cap: int, fine_iterations: int, refine_start, max_neighbors: int,
-):
-    """One view of the fused frame program: median prefilter + edge
-    weights + on-device forest (ops/device_forest.py) + plane-fit seeding
-    + truncated-ladder label refinement — shared by the SGBM-seeded and
-    the temporal (video) frame programs."""
-    from ..ops.device_forest import build_forest_device, device_forest_arrays
+def _view_forest(bgr, cfg: MSTConfig, tmax: int, adj_cap: int):
+    """Median prefilter + edge weights + on-device forest build for one
+    view (jit-traceable). Returns build_forest_device's raw array dict —
+    a pytree of device arrays, so it can cross executable boundaries
+    (the video server chains the KEYFRAME's forests into the temporal
+    refine program when reuse_forest is on)."""
+    from ..ops.device_forest import build_forest_device
     from ..ops.filters import median3x3
+
+    img = median3x3(bgr) if cfg.median_prefilter else bgr
+    im = img if img.ndim == 3 else img[..., None]
+    wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
+    wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
+    return build_forest_device(
+        wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
+        delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
+    )
+
+
+def _refine_view_given_forest(
+    raw, vol, seed_disp, k, cfg: MSTConfig, h: int, w: int, tmax: int,
+    fine_iterations: int, refine_start, max_neighbors: int,
+):
+    """Plane-fit seeding + truncated-ladder label refinement on an
+    ALREADY-BUILT forest (raw = build_forest_device output, possibly a
+    previous keyframe's — segmentation drifts slowly, GT-sequence-gated
+    in tests/test_serving.py)."""
+    from ..ops.device_forest import device_forest_arrays
     from ..ops.mst import (
         labels_to_disparity,
         mst_pms_optimize,
@@ -203,16 +221,8 @@ def _fused_refine_view(
     from .mst import _seed_min_cost
 
     span = float(cfg.max_disp - 1)
-    if cfg.volume_dtype != "float32":
+    if vol.dtype != jnp.dtype(cfg.volume_dtype):
         vol = vol.astype(cfg.volume_dtype)
-    img = median3x3(bgr) if cfg.median_prefilter else bgr
-    im = img if img.ndim == 3 else img[..., None]
-    wr = jnp.sum(jnp.abs(im[:, 1:] - im[:, :-1]), axis=-1)
-    wd = jnp.sum(jnp.abs(im[1:] - im[:-1]), axis=-1)
-    raw = build_forest_device(
-        wr, wd, c=cfg.c, min_size=cfg.min_cc_size, gamma=cfg.gamma,
-        delta=cfg.max_log_range, tmax=tmax, adj_cap=adj_cap,
-    )
     fa = device_forest_arrays(raw, h, w, tmax=tmax, check=False)
     a0, b0, c0 = plane_labels_from_disparity(
         jnp.clip(seed_disp, 0.0, span), fa
@@ -224,6 +234,20 @@ def _fused_refine_view(
         refine_start=refine_start,
     )
     return labels_to_disparity(a, b, c, fa, cfg.max_disp) * span
+
+
+def _fused_refine_view(
+    bgr, vol, seed_disp, k, cfg: MSTConfig, h: int, w: int, tmax: int,
+    adj_cap: int, fine_iterations: int, refine_start, max_neighbors: int,
+):
+    """One view of the fused frame program: forest build + plane-fit
+    seeding + truncated-ladder label refinement — shared by the
+    SGBM-seeded and the temporal (video) frame programs."""
+    raw = _view_forest(bgr, cfg, tmax, adj_cap)
+    return _refine_view_given_forest(
+        raw, vol, seed_disp, k, cfg, h, w, tmax,
+        fine_iterations, refine_start, max_neighbors,
+    )
 
 
 @partial(

@@ -44,11 +44,32 @@ __all__ = [
 ]
 
 
-def _spec(x) -> jax.ShapeDtypeStruct:
+def _spec_leaf(x) -> jax.ShapeDtypeStruct:
     if isinstance(x, jax.ShapeDtypeStruct):
         return x
     a = jnp.asarray(x) if not hasattr(x, "shape") else x
     return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+
+def _spec(x):
+    """Spec for one example argument — which may be a PYTREE of arrays
+    (e.g. the device-forest dict chained between video executables)."""
+    return jax.tree_util.tree_map(
+        _spec_leaf, x,
+        is_leaf=lambda v: isinstance(v, jax.ShapeDtypeStruct),
+    )
+
+
+def _check_shapes(args, specs) -> None:
+    for a, s in zip(args, specs):
+        for al, sl in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(s)):
+            if tuple(al.shape) != tuple(sl.shape):
+                raise ValueError(
+                    f"input shape {tuple(al.shape)} != compiled spec "
+                    f"{tuple(sl.shape)}; serving executables are "
+                    f"fixed-shape — build one per resolution"
+                )
 
 
 class CompiledPipeline:
@@ -105,15 +126,50 @@ class CompiledPipeline:
         except Exception:
             return 0
 
+    @property
+    def output_hbm_bytes(self) -> int:
+        try:
+            ma = self._compiled.memory_analysis()
+            return int(getattr(ma, "output_size_in_bytes", 0))
+        except Exception:
+            return 0
+
     def __call__(self, *args):
-        for a, s in zip(args, self._specs):
-            if tuple(a.shape) != tuple(s.shape):
-                raise ValueError(
-                    f"input shape {tuple(a.shape)} != compiled spec "
-                    f"{tuple(s.shape)}; serving executables are "
-                    f"fixed-shape — build one per resolution"
-                )
+        _check_shapes(args, self._specs)
         return self._compiled(*args)
+
+    def serialize(self) -> bytes:
+        """Serialized XLA executable + input specs: a restarted process
+        `CompiledPipeline.deserialize()`s and serves in seconds instead
+        of recompiling (full-size frame programs cost 100-650 s on this
+        environment's remote compiler; worker restarts are exactly the
+        recovery scenario the stream executors handle). Executables are
+        backend- and topology-specific — load on the same device type
+        that compiled them."""
+        import pickle
+
+        from jax.experimental import serialize_executable as _se
+
+        return pickle.dumps((_se.serialize(self._compiled), self._specs))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CompiledPipeline":
+        import pickle
+
+        from jax.experimental import serialize_executable as _se
+
+        payload, specs = pickle.loads(data)
+        self = cls.__new__(cls)
+        self._specs = specs
+        self._lowered = None
+        # single-device executables: without explicit execution_devices,
+        # deserialize_and_load maps onto ALL local devices and the load
+        # then expects N-sharded args (seen on the 8-virtual-device CPU
+        # test mesh)
+        self._compiled = _se.deserialize_and_load(
+            *payload, execution_devices=jax.devices()[:1]
+        )
+        return self
 
 
 class StagedPipeline:
@@ -126,10 +182,11 @@ class StagedPipeline:
     worker: program-size limits, preemption-prone fleets — and this
     environment's tunneled chip, whose worker dies executing the fused
     full-size SGBM+3DMST program while every stage of the staged chain
-    runs (bench.py STAGED_CODE measures the staged composition at the
-    headline 1280x960x128). Cost/memory analyses aggregate over stages
-    (peak HBM is the max stage peak plus chained intermediates — an
-    upper-bound sum is reported).
+    runs (bench.py STAGED_CODE benchmarks THIS class via
+    compile_sgbm_mst_server(staged=True) at the headline 1280x960x128,
+    with per-stage timings). Cost analyses sum over stages; peak HBM is
+    the max over stages of (stage peak + earlier stages' chained
+    outputs that may still be live).
     """
 
     def __init__(self, stages: Sequence[CompiledPipeline],
@@ -153,33 +210,99 @@ class StagedPipeline:
 
     @property
     def peak_hbm_bytes(self) -> int:
-        return int(sum(s.peak_hbm_bytes for s in self.stages))
+        """Max over stages of (that stage's peak + every EARLIER stage's
+        outputs): chained device arrays from earlier stages may still be
+        live while a later stage runs. A whole-chain sum (the previous
+        bound) double-counted inputs fed to several stages and every
+        chained volume — far looser than this for capacity planning."""
+        best, live = 0, 0
+        for s in self.stages:
+            best = max(best, s.peak_hbm_bytes + live)
+            live += s.output_hbm_bytes
+        return int(best)
 
     def __call__(self, *args):
-        for a, s in zip(args, self._specs):
-            if tuple(a.shape) != tuple(s.shape):
-                raise ValueError(
-                    f"input shape {tuple(a.shape)} != compiled spec "
-                    f"{tuple(s.shape)}; serving executables are "
-                    f"fixed-shape — build one per resolution"
-                )
+        _check_shapes(args, self._specs)
         return self._driver(*args)
 
 
-def _staged_vol_pipe(h: int, w: int, d: int) -> CompiledPipeline:
-    """Stage executable: BGR pair -> (left, right) cost volumes."""
+def _cached_pipeline(fn: Callable, example_args: Sequence[Any],
+                     cache_dir: str | None, tag: str,
+                     key_material: str = "") -> CompiledPipeline:
+    """Build a CompiledPipeline, round-tripping through an on-disk
+    executable cache when `cache_dir` is given: the cache key covers the
+    stage tag, `key_material` (pass repr(cfg) + every static knob the
+    specs don't encode), jax version, backend and the full input-spec
+    pytree, so a config/shape change misses cleanly. Corrupt or
+    incompatible entries fall back to a fresh compile (and overwrite)."""
+    import hashlib
+    import os
+
+    specs = tuple(_spec(a) for a in example_args)
+    path = None
+    if cache_dir:
+        key = hashlib.sha256(
+            repr((tag, key_material, jax.__version__,
+                  jax.default_backend(), specs)).encode()).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"{tag}-{key}.jaxexec")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    pipe = CompiledPipeline.deserialize(f.read())
+                # validate with one zero-input run: XLA:CPU's AOT loader
+                # is broken on some hosts (machine-feature mismatch ->
+                # "Function ... not found" at execute time), and a
+                # serving executor must never discover that mid-stream.
+                # One warm-up frame is cheap next to the recompile it
+                # replaces — and servers want a warm-up anyway.
+                zeros = [
+                    jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), sp,
+                        is_leaf=lambda v: isinstance(v, jax.ShapeDtypeStruct),
+                    )
+                    for sp in pipe.in_specs
+                ]
+                jax.block_until_ready(pipe(*zeros))
+                return pipe
+            except Exception:
+                pass  # stale/incompatible/unloadable: recompile below
+    pipe = CompiledPipeline(fn, specs)
+    if path:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(pipe.serialize())
+            os.replace(tmp, path)
+        except Exception:
+            pass  # cache is best-effort
+    return pipe
+
+
+def _staged_vol_pipe(h: int, w: int, d: int,
+                     out_dtype: str = "float32",
+                     cache_dir: str | None = None) -> CompiledPipeline:
+    """Stage executable: BGR pair -> (left, right) cost volumes.
+
+    `out_dtype` = cfg.volume_dtype: casting at THIS stage's output halves
+    the chained bytes handed to the refine stages (~1.26 GB -> 0.63 GB
+    per view at 1280x960x128 bf16) — identical math to casting inside
+    each refine stage (which re-casts are no-ops)."""
     from .apps.stereo_yin import builtin_cost_volumes
 
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
 
     def vols(lb, rb):
-        return builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
+        vl, vr = builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
+        return vl.astype(out_dtype), vr.astype(out_dtype)
 
-    return CompiledPipeline(vols, (img, img))
+    return _cached_pipeline(vols, (img, img), cache_dir, "vol",
+                            f"{d}_{out_dtype}")
 
 
 def _staged_seed_pipe(h: int, w: int, sgbm_cfg: SGBMConfig,
-                      right_seed: str) -> CompiledPipeline:
+                      right_seed: str,
+                      cache_dir: str | None = None) -> CompiledPipeline:
     """Stage executable: BGR pair -> (left, right) SGBM seed maps."""
     from .models.sgbm_mst import _gray_from_bgr, _seed_pair
 
@@ -190,23 +313,26 @@ def _staged_seed_pipe(h: int, w: int, sgbm_cfg: SGBMConfig,
             _gray_from_bgr(lb), _gray_from_bgr(rb), sgbm_cfg, right_seed
         )
 
-    return CompiledPipeline(seeds, (img, img))
+    return _cached_pipeline(seeds, (img, img), cache_dir, "seed",
+                            repr(sgbm_cfg) + right_seed)
 
 
 def _staged_refine_pipe(cfg: MSTConfig, h: int, w: int, d: int, tmax: int,
                         adj_cap: int, iterations: int, refine_start,
                         max_neighbors: int, view_idx: int,
-                        clip_span: float | None = None) -> CompiledPipeline:
+                        clip_span: float | None = None,
+                        cache_dir: str | None = None) -> CompiledPipeline:
     """Stage executable: one view's forest + seeded label refinement.
 
     Splits the frame key exactly like _sgbm_mst_frame_fused (left =
     split[0], right = split[1]) so the staged chain reproduces the fused
     program's RNG stream. `clip_span` mirrors the video refine program's
-    clip of the previous frame's maps."""
+    clip of the previous frame's maps. The volume arrives already cast to
+    cfg.volume_dtype (the volume stage casts at its output)."""
     from .models.sgbm_mst import _fused_refine_view
 
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
-    vol = jax.ShapeDtypeStruct((h, w, d), jnp.float32)
+    vol = jax.ShapeDtypeStruct((h, w, d), jnp.dtype(cfg.volume_dtype))
     dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
@@ -218,7 +344,55 @@ def _staged_refine_pipe(cfg: MSTConfig, h: int, w: int, d: int, tmax: int,
             tmax, adj_cap, iterations, refine_start, max_neighbors,
         )
 
-    return CompiledPipeline(f, (img, vol, dsp, key))
+    return _cached_pipeline(
+        f, (img, vol, dsp, key), cache_dir, f"refine{view_idx}",
+        f"{repr(cfg)}_{tmax}_{adj_cap}_{iterations}_{refine_start}_"
+        f"{max_neighbors}_{clip_span}")
+
+
+def _staged_forest_pipe(cfg: MSTConfig, h: int, w: int, tmax: int,
+                        adj_cap: int,
+                        cache_dir: str | None = None) -> CompiledPipeline:
+    """Stage executable: one view's BGR image -> device-forest pytree
+    (build_forest_device raw dict) — split out of the refine stage so
+    the video server can chain a keyframe's forests into later temporal
+    frames (reuse_forest)."""
+    from .models.sgbm_mst import _view_forest
+
+    img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
+    return _cached_pipeline(
+        lambda b: _view_forest(b, cfg, tmax, adj_cap), (img,),
+        cache_dir, "forest", f"{repr(cfg)}_{tmax}_{adj_cap}")
+
+
+def _staged_refine_core_pipe(cfg: MSTConfig, h: int, w: int, d: int,
+                             tmax: int, iterations: int, refine_start,
+                             max_neighbors: int, view_idx: int,
+                             forest_spec,
+                             clip_span: float | None = None,
+                             cache_dir: str | None = None
+                             ) -> CompiledPipeline:
+    """Stage executable: seeded label refinement on an ALREADY-BUILT
+    forest (volume, seed map, forest pytree, frame key -> disparity).
+    Same RNG stream as _staged_refine_pipe (key split by view)."""
+    from .models.sgbm_mst import _refine_view_given_forest
+
+    vol = jax.ShapeDtypeStruct((h, w, d), jnp.dtype(cfg.volume_dtype))
+    dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    def f(v, sd, raw, k):
+        if clip_span is not None:
+            sd = jnp.clip(sd, 0.0, clip_span)
+        return _refine_view_given_forest(
+            raw, v, sd, jax.random.split(k)[view_idx], cfg, h, w, tmax,
+            iterations, refine_start, max_neighbors,
+        )
+
+    return _cached_pipeline(
+        f, (vol, dsp, forest_spec, key), cache_dir, f"refcore{view_idx}",
+        f"{repr(cfg)}_{tmax}_{iterations}_{refine_start}_"
+        f"{max_neighbors}_{clip_span}")
 
 
 @dataclass
@@ -275,10 +449,20 @@ class StereoStreamServer:
         *frame_args,
         _pipeline: CompiledPipeline | None = None,
         _replay_args: Sequence[Any] | None = None,
+        _post: Callable[[Any], Any] | None = None,
+        _replay_post: Callable[[Any], Any] | None = None,
     ) -> int:
+        """`_post` transforms the pipeline's output before it is queued
+        (the reuse-forest video server strips + captures the keyframe's
+        forest state); `_replay_post` does the same for the REPLAY path's
+        output — they differ when replay routes through a different
+        pipeline than the direct call (_replay_args)."""
         if len(self._queue) >= self.capacity:
             self._finish(self._queue.popleft())
         replay = None
+        _up = lambda a: jax.tree_util.tree_map(  # noqa: E731  pytree args
+            lambda x: x if isinstance(x, jax.Array)
+            else jax.device_put(jnp.asarray(x)), a)
         if self.retries:
             # Host snapshot for replay after device-state loss. When
             # `_replay_args` is given (the video executor: a refine
@@ -287,18 +471,21 @@ class StereoStreamServer:
             src = frame_args if _replay_args is None else _replay_args
             target = (_pipeline or self.pipeline) if _replay_args is None \
                 else self.pipeline
-            host = tuple(np.asarray(a) for a in src)
+            rp = _replay_post if _replay_args is not None else \
+                (_replay_post or _post)
+            host = tuple(
+                jax.tree_util.tree_map(np.asarray, a) for a in src
+            )
 
-            def replay(host=host, target=target):
-                return target(*[jax.device_put(jnp.asarray(a)) for a in host])
+            def replay(host=host, target=target, rp=rp):
+                out = target(*[_up(a) for a in host])
+                return rp(out) if rp else out
 
         try:
-            dev = [
-                a if isinstance(a, jax.Array)
-                else jax.device_put(jnp.asarray(a))
-                for a in frame_args
-            ]
+            dev = [_up(a) for a in frame_args]
             out = (_pipeline or self.pipeline)(*dev)
+            if _post:
+                out = _post(out)
         except Exception:
             # dispatch itself can raise eagerly when an INPUT buffer died
             # with the worker (chained video seeds); recover in place
@@ -361,6 +548,7 @@ def compile_sgbm_mst_server(
     retries: int = 0,
     retry_backoff_s: float = 0.0,
     staged: bool = False,
+    cache_dir: str | None = None,
 ) -> StereoStreamServer:
     """AOT-compile the production north-star pipeline for an HxW stream.
 
@@ -378,6 +566,14 @@ def compile_sgbm_mst_server(
     workers that cannot execute the monolithic frame program (see
     StagedPipeline). Output parity with the fused server is tested
     (tests/test_serving.py).
+
+    `cache_dir` enables the on-disk EXECUTABLE cache: every pipeline
+    this builds is serialized there (jax.experimental
+    .serialize_executable), and a restarted process — the recovery
+    story — loads it in seconds instead of paying the 100-650 s
+    full-size recompiles this environment's remote compiler charges.
+    Keys cover config, shapes, jax version and backend; stale entries
+    recompile cleanly.
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
@@ -396,12 +592,14 @@ def compile_sgbm_mst_server(
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     if staged:
-        vol_pipe = _staged_vol_pipe(h, w, d)
-        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed)
+        vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    cache_dir=cache_dir)
+        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
+                                      cache_dir=cache_dir)
         ref_l, ref_r = (
             _staged_refine_pipe(
                 cfg, h, w, d, tmax, adj_cap, fine_iterations,
-                refine_start, max_neighbors, i,
+                refine_start, max_neighbors, i, cache_dir=cache_dir,
             )
             for i in (0, 1)
         )
@@ -428,7 +626,10 @@ def compile_sgbm_mst_server(
                 tmax, adj_cap, right_seed,
             )
 
-        pipe = CompiledPipeline(frame, (img, img, key))
+        pipe = _cached_pipeline(
+            frame, (img, img, key), cache_dir, "sgbm_mst_frame",
+            f"{repr(cfg)}_{repr(sgbm_cfg)}_{fine_iterations}_"
+            f"{refine_start}_{max_neighbors}_{right_seed}_{tmax}_{adj_cap}")
     server = StereoStreamServer(pipe, capacity=capacity, retries=retries,
                                 retry_backoff_s=retry_backoff_s)
 
@@ -472,13 +673,25 @@ class VideoStreamServer(StereoStreamServer):
         reseed_every: int = 0,
         retries: int = 0,
         retry_backoff_s: float = 0.0,
+        reuse_forest: bool = False,
     ):
         super().__init__(keyframe_pipeline, capacity=capacity,
                          retries=retries, retry_backoff_s=retry_backoff_s)
         self.refine_pipeline = refine_pipeline
         self.reseed_every = reseed_every
+        self.reuse_forest = reuse_forest
         self._prev: Any = None
+        self._prev_forest: Any = None  # (raw_l, raw_r) device pytrees
         self._since_key = 0  # frames submitted since last keyframe, incl. it
+
+    def _capture_forest(self, out):
+        """Keyframe-output post: stash the forest pytrees as chained
+        device state and hand only the disparity pair downstream (they
+        must NOT reach _finish — materializing ~100 MB of forest arrays
+        to host every keyframe would throttle collect())."""
+        disp_l, disp_r, raw_l, raw_r = out
+        self._prev_forest = (raw_l, raw_r)
+        return (disp_l, disp_r)
 
     def submit_pair(self, left_bgr, right_bgr, seed: int | None = None) -> int:
         i = self._next
@@ -486,19 +699,22 @@ class VideoStreamServer(StereoStreamServer):
         keyframe = self._prev is None or (
             self.reseed_every and self._since_key >= self.reseed_every
         )
+        post = self._capture_forest if self.reuse_forest else None
         if keyframe:
-            t = self.submit(left_bgr, right_bgr, key)
+            t = self.submit(left_bgr, right_bgr, key, _post=post)
             self._since_key = 1
         else:
             # failure replay re-runs this frame as a KEYFRAME: a worker
-            # restart loses the chained device seeds, so the honest
-            # recovery is to re-key the temporal chain at this frame
-            # (keyframes are the highest-quality path; only cost is one
-            # SGBM pass)
+            # restart loses the chained device seeds (and forests), so
+            # the honest recovery is to re-key the temporal chain at
+            # this frame (keyframes are the highest-quality path; only
+            # cost is one SGBM pass)
+            fargs = self._prev_forest if self.reuse_forest else ()
             t = self.submit(
-                left_bgr, right_bgr, *self._prev, key,
+                left_bgr, right_bgr, *self._prev, *fargs, key,
                 _pipeline=self.refine_pipeline,
                 _replay_args=(left_bgr, right_bgr, key),
+                _replay_post=post,
             )
             self._since_key += 1
         self._prev = self._queue[-1].outputs  # (disp_l, disp_r) device arrays
@@ -508,6 +724,7 @@ class VideoStreamServer(StereoStreamServer):
         """Drop the temporal state (scene cut): the next frame reseeds
         and the keyframe cadence rephases to it."""
         self._prev = None
+        self._prev_forest = None
         self._since_key = 0
 
 
@@ -528,6 +745,8 @@ def compile_mst_video_server(
     retries: int = 0,
     retry_backoff_s: float = 0.0,
     staged: bool = False,
+    reuse_forest: bool = False,
+    cache_dir: str | None = None,
 ) -> VideoStreamServer:
     """AOT-compile the VIDEO serving pair for an HxW stream: the
     SGBM-seeded keyframe program plus the temporal refine-only program
@@ -549,6 +768,18 @@ def compile_mst_video_server(
     keyframe chain is volumes/seeds/per-view refine; the temporal chain
     is volumes/per-view refine, SHARING the keyframe's volume-build
     executable. Identical math and RNG streams to the fused pair.
+
+    `reuse_forest=True` takes the device-forest BUILD off the
+    steady-state critical path (round-5; the reference rebuilds its
+    segment forest from scratch every frame, src/stereo_Yin.cpp:207 ->
+    src/Stereo3DMST.cpp:213-543): the keyframe program additionally
+    outputs both views' forest pytrees, the server chains them on
+    device, and temporal frames refine on the KEYFRAME's (stale)
+    forests — segmentation drifts slowly, so per-frame work drops to
+    volume build + refine iterations only. Quality is gated on the
+    moving GT sequence through the real executables
+    (tests/test_serving.py); pair with `reseed_every` to bound forest
+    staleness. RNG streams are unchanged.
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
@@ -574,20 +805,124 @@ def compile_mst_video_server(
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     dsp = jax.ShapeDtypeStruct((h, w), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    if reuse_forest:
+        from .models.sgbm_mst import (
+            _gray_from_bgr,
+            _refine_view_given_forest,
+            _seed_pair,
+            _view_forest,
+        )
+
+        forest_spec = jax.eval_shape(
+            lambda b: _view_forest(b, cfg, tmax, adj_cap), img
+        )
+        if staged:
+            vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    cache_dir=cache_dir)
+            seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
+                                      cache_dir=cache_dir)
+            forest_pipe = _staged_forest_pipe(cfg, h, w, tmax, adj_cap,
+                                              cache_dir=cache_dir)
+            kc_l, kc_r = (
+                _staged_refine_core_pipe(
+                    cfg, h, w, d, tmax, fine_iterations, refine_start,
+                    max_neighbors, i, forest_spec, cache_dir=cache_dir,
+                )
+                for i in (0, 1)
+            )
+            rc_l, rc_r = (
+                _staged_refine_core_pipe(
+                    cfg, h, w, d, tmax, ti, trs, max_neighbors, i,
+                    forest_spec, clip_span=span, cache_dir=cache_dir,
+                )
+                for i in (0, 1)
+            )
+
+            def kf_driver(lb, rb, k):
+                vl, vr = vol_pipe(lb, rb)
+                dl, dr = seed_pipe(lb, rb)
+                fl, fr = forest_pipe(lb), forest_pipe(rb)
+                return (kc_l(vl, dl, fl, k), kc_r(vr, dr, fr, k), fl, fr)
+
+            def rf_driver(lb, rb, pdl, pdr, fl, fr, k):
+                vl, vr = vol_pipe(lb, rb)
+                return rc_l(vl, pdl, fl, k), rc_r(vr, pdr, fr, k)
+
+            key_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+                (vol_pipe, seed_pipe, forest_pipe, kc_l, kc_r),
+                kf_driver, (img, img, key),
+            )
+            ref_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+                (vol_pipe, rc_l, rc_r), rf_driver,
+                (img, img, dsp, dsp, forest_spec, forest_spec, key),
+            )
+        else:
+            def keyframe_rf(left_bgr, right_bgr, k):
+                vl, vr = builtin_cost_volumes(
+                    left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                )
+                sl, sr = _seed_pair(
+                    _gray_from_bgr(left_bgr), _gray_from_bgr(right_bgr),
+                    sgbm_cfg, right_seed,
+                )
+                kl, kr = jax.random.split(k)
+                fl = _view_forest(left_bgr, cfg, tmax, adj_cap)
+                fr = _view_forest(right_bgr, cfg, tmax, adj_cap)
+                dl = _refine_view_given_forest(
+                    fl, vl, sl, kl, cfg, h, w, tmax, fine_iterations,
+                    refine_start, max_neighbors,
+                )
+                dr = _refine_view_given_forest(
+                    fr, vr, sr, kr, cfg, h, w, tmax, fine_iterations,
+                    refine_start, max_neighbors,
+                )
+                return dl, dr, fl, fr
+
+            def refine_rf(left_bgr, right_bgr, pdl, pdr, fl, fr, k):
+                vl, vr = builtin_cost_volumes(
+                    left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                )
+                kl, kr = jax.random.split(k)
+                dl = _refine_view_given_forest(
+                    fl, vl, jnp.clip(pdl, 0.0, span), kl, cfg, h, w,
+                    tmax, ti, trs, max_neighbors,
+                )
+                dr = _refine_view_given_forest(
+                    fr, vr, jnp.clip(pdr, 0.0, span), kr, cfg, h, w,
+                    tmax, ti, trs, max_neighbors,
+                )
+                return dl, dr
+
+            _km = (f"{repr(cfg)}_{repr(sgbm_cfg)}_{fine_iterations}_"
+                   f"{refine_start}_{max_neighbors}_{right_seed}_"
+                   f"{tmax}_{adj_cap}_{ti}_{trs}")
+            key_pipe = _cached_pipeline(
+                keyframe_rf, (img, img, key), cache_dir, "vidkf_rf", _km)
+            ref_pipe = _cached_pipeline(
+                refine_rf,
+                (img, img, dsp, dsp, forest_spec, forest_spec, key),
+                cache_dir, "vidrf_rf", _km)
+        return VideoStreamServer(
+            key_pipe, ref_pipe, capacity=capacity,
+            reseed_every=reseed_every, retries=retries,
+            retry_backoff_s=retry_backoff_s, reuse_forest=True,
+        )
     if staged:
-        vol_pipe = _staged_vol_pipe(h, w, d)
-        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed)
+        vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    cache_dir=cache_dir)
+        seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
+                                      cache_dir=cache_dir)
         kf_l, kf_r = (
             _staged_refine_pipe(
                 cfg, h, w, d, tmax, adj_cap, fine_iterations,
-                refine_start, max_neighbors, i,
+                refine_start, max_neighbors, i, cache_dir=cache_dir,
             )
             for i in (0, 1)
         )
         rf_l, rf_r = (
             _staged_refine_pipe(
                 cfg, h, w, d, tmax, adj_cap, ti, trs, max_neighbors, i,
-                clip_span=span,
+                clip_span=span, cache_dir=cache_dir,
             )
             for i in (0, 1)
         )
@@ -601,10 +936,10 @@ def compile_mst_video_server(
             vl, vr = vol_pipe(lb, rb)
             return rf_l(lb, vl, pdl, k), rf_r(rb, vr, pdr, k)
 
-        key_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+        key_pipe = StagedPipeline(
             (vol_pipe, seed_pipe, kf_l, kf_r), kf_driver, (img, img, key)
         )
-        ref_pipe: CompiledPipeline | StagedPipeline = StagedPipeline(
+        ref_pipe = StagedPipeline(
             (vol_pipe, rf_l, rf_r), rf_driver, (img, img, dsp, dsp, key)
         )
     else:
@@ -628,8 +963,13 @@ def compile_mst_video_server(
                 key, cfg, ti, trs, max_neighbors, h, w, tmax, adj_cap,
             )
 
-        key_pipe = CompiledPipeline(keyframe, (img, img, key))
-        ref_pipe = CompiledPipeline(refine, (img, img, dsp, dsp, key))
+        _km = (f"{repr(cfg)}_{repr(sgbm_cfg)}_{fine_iterations}_"
+               f"{refine_start}_{max_neighbors}_{right_seed}_"
+               f"{tmax}_{adj_cap}_{ti}_{trs}")
+        key_pipe = _cached_pipeline(
+            keyframe, (img, img, key), cache_dir, "vidkf", _km)
+        ref_pipe = _cached_pipeline(
+            refine, (img, img, dsp, dsp, key), cache_dir, "vidrf", _km)
     return VideoStreamServer(
         key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every,
         retries=retries, retry_backoff_s=retry_backoff_s,

@@ -68,6 +68,31 @@ class TestStereoRectify:
         np.testing.assert_allclose(ours.P2, P2, atol=1e-4)
         np.testing.assert_allclose(ours.Q, Q, atol=1e-4)
 
+    @pytest.mark.parametrize(
+        "which,size", [("pheno", (2048, 1536)), ("flir", (1280, 960))]
+    )
+    @pytest.mark.parametrize("alpha", [-1.0, 0.0, 0.5, 1.0])
+    def test_alpha_and_rois_match_cv2(self, which, size, alpha, pheno, flir):
+        """Free-scaling (alpha) + valid-pixel ROIs vs the cv2 5.0 oracle:
+        alpha=0 is the ACTIVE StereoYin rectification
+        (/root/reference/src/stereo_Yin.cpp:135 passes
+        CALIB_ZERO_DISPARITY, 0, img_size); the ROIs feed the legacy
+        CLI's BM config (src/stereo_opencv (copy).cpp:258-268). ROIs are
+        exact; P/Q agree to <1e-3 px at calibration scale."""
+        cal = pheno if which == "pheno" else flir
+        ours = stereo_rectify(
+            cal.M1, cal.D1, cal.M2, cal.D2, size, cal.R, cal.T, alpha=alpha
+        )
+        R1, R2, P1, P2, Q, roi1, roi2 = cv2.stereoRectify(
+            cal.M1, cal.D1, cal.M2, cal.D2, size, cal.R, cal.T.reshape(3, 1),
+            flags=cv2.CALIB_ZERO_DISPARITY, alpha=alpha,
+        )
+        np.testing.assert_allclose(ours.P1, P1, atol=1e-3)
+        np.testing.assert_allclose(ours.P2, P2, atol=1e-3)
+        np.testing.assert_allclose(ours.Q, Q, atol=1e-3)
+        assert ours.roi1 == tuple(roi1)
+        assert ours.roi2 == tuple(roi2)
+
     def test_matches_stored_pheno(self, pheno):
         """The pheno YAML carries precomputed R1/R2/P1/P2/Q — check we agree
         on rotations (P/Q depend on the image size used at calibration)."""
