@@ -705,13 +705,21 @@ print(json.dumps(out))
 # Headline composition from the essential measurements.
 # ---------------------------------------------------------------------------
 
-# v5e random-gather throughput assumption for sort/pointer-chase-bound
-# stages (the device forest): HBM random 4-byte access runs well below
-# stream bandwidth; 8x is the conservative order of magnitude (the
-# tunnel chip's own measured random-gather penalty has ranged 3-13x).
-# The composition reports raw byte figures so any other assumption can
-# be substituted.
-V5E_GATHER_RANDOM_GBPS = V5E_HBM_GBPS / 8.0
+# v5e gather derates BY INDEX CLASS — architectural assumptions, NOT
+# this chip's measured penalties. Round 5's honest memsys (fori_loop,
+# dispatch amortized) exposed that the tunneled chip's gathers crawl at
+# 0.3-0.5 GB/s against an 81 GB/s stream rate — a 150-286x penalty that
+# no real HBM part exhibits (it's element-at-a-time tunnel emulation).
+# Projecting v5e with that artifact would be as wrong as the old
+# dispatch-bound baseline was in the other direction. Assumptions:
+# local (near-diagonal, prefetchable) 4x, monotone (sequential-ish) 2x,
+# random 4-byte (sector + row-activation overhead) 8x below stream.
+# Every composed entry records the raw measured tunnel penalties
+# alongside so any other assumption can be substituted.
+V5E_PEN_LOCAL = 4.0
+V5E_PEN_MONOTONE = 2.0
+V5E_PEN_RANDOM = 8.0
+V5E_GATHER_RANDOM_GBPS = V5E_HBM_GBPS / V5E_PEN_RANDOM
 
 
 def _compose_full(extra):
@@ -822,15 +830,23 @@ def _compose(extra, sgbm_fps):
         return
     equiv_iters = 30 / 4.0 + 10.0  # c2f budget in full-iteration units
     sgb = mst.get("analytic_stream_gb_per_iteration", 0.0)
-    # derate each gather class by ITS measured penalty on this chip
-    # (memsys): the MST gathers are local (near-diagonal sub_end /
-    # DFS-order euler_src / node-order label_cost rows) and monotone
-    # (in_pos), not random
+    # derate each gather class by the documented v5e CLASS assumption
+    # (see V5E_PEN_* above): the MST gathers are local (near-diagonal
+    # sub_end / DFS-order euler_src / node-order label_cost rows) and
+    # monotone (in_pos), not random. The tunnel's own measured
+    # penalties ride along for the record.
     g_loc = mst.get("analytic_gather_local_gb_per_iteration", 0.0)
     g_mon = mst.get("analytic_gather_monotone_gb_per_iteration", 0.0)
     ggb = g_loc + g_mon
-    pen_loc = mem.get("gather_local64_penalty", mem.get("gather_penalty", 1.0))
-    pen_mon = mem.get("gather_monotone_penalty", mem.get("gather_penalty", 1.0))
+    pen_loc, pen_mon = V5E_PEN_LOCAL, V5E_PEN_MONOTONE
+    tunnel_pens = {
+        "tunnel_gather_local64_penalty": mem.get("gather_local64_penalty"),
+        "tunnel_gather_monotone_penalty": mem.get("gather_monotone_penalty"),
+        "tunnel_gather_random_penalty": mem.get("gather_random_penalty"),
+        "v5e_assumed_penalties": {"local": V5E_PEN_LOCAL,
+                                  "monotone": V5E_PEN_MONOTONE,
+                                  "random": V5E_PEN_RANDOM},
+    }
     t_iter_opt = (sgb + ggb) / V5E_HBM_GBPS
     t_iter_der = (sgb + g_loc * pen_loc + g_mon * pen_mon) / V5E_HBM_GBPS
     mst_s_opt = 2 * equiv_iters * t_iter_opt  # both views
@@ -844,8 +860,10 @@ def _compose(extra, sgbm_fps):
         "v5e_fps_optimistic": round(fps_opt, 1),
         "v5e_fps_gather_derated": round(fps_der, 2),
         "local_tunnel_s_per_frame": round(local_s, 1),
-        "note": "c2f 30/10 budget from PARITY.md curve; derated "
-        "uses this chip's measured gather penalty as the bound",
+        **tunnel_pens,
+        "note": "c2f 30/10 budget from PARITY.md curve; derated uses "
+        "the documented v5e per-class gather assumptions (this chip's "
+        "measured penalties, recorded above, are a tunnel artifact)",
     }
     print(
         f"sgbm_plus_mst: v5e fps {fps_der:.1f} (derated) .. "
@@ -1062,24 +1080,37 @@ def _arm_watchdog():
     """Last-resort guarantee of rc==0 with ONE parseable JSON line as the
     LAST stdout line: if anything hangs on the wedged tunnel past the
     hard deadline, kill every live probe child (whole process groups),
-    emit the best-available headline and exit 0. SIGALRM fires even
-    while a device call is blocked in C++. HARD_EXIT_S sits >300 s
-    inside the driver's external timeout (~1800 s) — rc=124 voids the
-    run no matter what stdout says (BENCH_r03/r04)."""
+    emit the best-available headline and exit 0. TWO mechanisms, because
+    a Python SIGALRM handler only runs between bytecodes — when the main
+    thread is blocked inside a C extension call that never returns (a
+    wedged axon compile/execute), the flag is set but the handler never
+    executes. A daemon THREAD runs regardless (blocking RPC calls
+    release the GIL), so it is the primary; SIGALRM stays as backup.
+    HARD_EXIT_S sits >300 s inside the driver's external timeout
+    (~1800 s) — rc=124 voids the run no matter what stdout says
+    (BENCH_r03/r04)."""
+    import threading
 
-    def _fire(signum, frame):
+    def _emit_and_exit(kind):
         for p in list(_LIVE_CHILDREN):
             _kill_child(p)
         extra = _WATCHDOG_STATE["extra"] or {}
         head = _headline(extra, _WATCHDOG_STATE["fps"])
         head["extra"] = {**extra, "watchdog": "bench hit the hard exit "
-                         f"deadline ({HARD_EXIT_S:.0f}s); emitted "
+                         f"deadline ({HARD_EXIT_S:.0f}s, {kind}); emitted "
                          "best-available headline"}
         print(json.dumps(head), flush=True)
         os._exit(0)
 
-    signal.signal(signal.SIGALRM, _fire)
-    signal.alarm(int(HARD_EXIT_S))
+    def _thread_main():
+        time.sleep(max(HARD_EXIT_S - (time.time() - T_START), 1.0))
+        _emit_and_exit("thread")
+
+    t = threading.Thread(target=_thread_main, daemon=True,
+                         name="bench-hard-exit")
+    t.start()
+    signal.signal(signal.SIGALRM, lambda s, f: _emit_and_exit("sigalrm"))
+    signal.alarm(int(HARD_EXIT_S + 20))
 
 
 def main():
@@ -1206,7 +1237,7 @@ def main():
     # hoist the traversal, and the result is cross-checked against the
     # same run's SGBM achieved GB/s before anything derates with it. ----
     try:
-        m_elems = 32 * 1024 * 1024  # 128 MB f32 working set
+        m_elems = 32 * 1024 * 1024  # 128 MB f32 streaming working set
         reps = 16
         key0 = jax.random.PRNGKey(0)
         xm = jax.jit(
@@ -1227,21 +1258,25 @@ def main():
         stream_gbps = reps * m_elems * 4 / dtm / 1e9
         # gather CLASSES: the MST/PM index maps are not random — in_pos is
         # monotone, parent/sub_end near-diagonal, label_cost a per-row
-        # column select — so measure each class this code actually emits
-        # and derate each engine by its own class, not the random worst
-        # case (the class mix per engine is in the analytic models).
-        # Indices are generated ON DEVICE (a 128 MB host upload through
-        # the ~40 MB/s tunnel would dominate the probe).
+        # column select — so measure each class this code actually emits.
+        # SMALLER working set + fewer reps than the stream probe: this
+        # chip's gathers crawl at ~0.3-0.5 GB/s (measured round 5), and a
+        # 128 MB x16 sweep burned ~10 min of a ~1300 s budget. Indices
+        # are generated ON DEVICE (a host upload through the ~40 MB/s
+        # tunnel would dominate the probe).
+        g_elems = 8 * 1024 * 1024  # 32 MB
+        g_reps = 4
+        xg = xm[:g_elems]
         k1, k2, k3 = jax.random.split(key0, 3)
-        ar = jnp.arange(m_elems, dtype=jnp.int32)
+        ar = jnp.arange(g_elems, dtype=jnp.int32)
         idx_classes = {
             "random": jax.jit(jax.random.permutation, static_argnums=1)(
-                k1, m_elems).astype(jnp.int32),
+                k1, g_elems).astype(jnp.int32),
             "monotone": jax.jit(lambda k: jnp.sort(jax.random.randint(
-                k, (m_elems,), 0, m_elems, jnp.int32)))(k2),
+                k, (g_elems,), 0, g_elems, jnp.int32)))(k2),
             "local64": jax.jit(lambda k: jnp.clip(
-                ar + jax.random.randint(k, (m_elems,), -64, 65, jnp.int32),
-                0, m_elems - 1))(k3),
+                ar + jax.random.randint(k, (g_elems,), -64, 65, jnp.int32),
+                0, g_elems - 1))(k3),
         }
 
         def _gather_loop(x, i):
@@ -1250,30 +1285,31 @@ def main():
                 # between reps (same locality class), so the gather is
                 # not loop-invariant and cannot be hoisted
                 return acc + jnp.sum(x[i ^ (r & 1)])
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, g_reps, body, jnp.float32(0))
 
         gather_fn = jax.jit(_gather_loop)
         mem = {"stream_read_gbps": round(stream_gbps, 2),
-               "working_set_mb": m_elems * 4 // 2**20, "reps": reps}
+               "working_set_mb": m_elems * 4 // 2**20, "reps": reps,
+               "gather_working_set_mb": g_elems * 4 // 2**20,
+               "gather_reps": g_reps}
         for cname, idxm in idx_classes.items():
             float(jnp.sum(idxm))  # force index build
-            float(gather_fn(xm, idxm))
-            dtg = _time_stepfn(gather_fn, (xm, idxm), 3, warmup=1)
-            g = reps * 2 * m_elems * 4 / dtg / 1e9
+            float(gather_fn(xg, idxm))
+            dtg = _time_stepfn(gather_fn, (xg, idxm), 2, warmup=1)
+            g = g_reps * 2 * g_elems * 4 / dtg / 1e9
             mem[f"gather_{cname}_gbps"] = round(g, 2)
             mem[f"gather_{cname}_penalty"] = round(
                 stream_gbps / max(g, 1e-9), 1
             )
         mem["gather_penalty"] = mem["gather_random_penalty"]  # worst case
-        # consistency gate vs the same run's SGBM stream rate: if the two
-        # "streaming" numbers disagree >2x the probe is latency- or
-        # layout-bound and the penalties are suspect — recorded so the
-        # composition can say so
-        sg = extra.get("sgbm_bf16", extra.get("sgbm_f32", {})).get(
-            "achieved_gbps", 0.0)
+        # consistency gate vs the same run's f32 SGBM achieved rate (the
+        # bandwidth-bound engine; bf16 SGBM is lane/compute-bound and
+        # reads lower GB/s by construction): if the two disagree >2x the
+        # probe is latency- or layout-bound and suspect
+        sg = extra.get("sgbm_f32", {}).get("achieved_gbps", 0.0)
         if sg:
             ratio = stream_gbps / sg
-            mem["stream_vs_sgbm_ratio"] = round(ratio, 2)
+            mem["stream_vs_sgbm_f32_ratio"] = round(ratio, 2)
             mem["consistent_with_sgbm"] = bool(0.5 <= ratio <= 2.0)
         extra["memsys"] = mem
         print(f"memsys: {mem}", file=sys.stderr)

@@ -121,6 +121,10 @@ def main(argv=None):
             min_disp=0,
             num_disp=nd,
             block_size=9 if a.blocksize is None else a.blocksize,
+            # the rectification valid-pixel ROIs, like the reference's
+            # bm->setROI1/2 (src/stereo_opencv (copy).cpp:258-268)
+            roi1=geom.roi1 if geom is not None else None,
+            roi2=geom.roi2 if geom is not None else None,
         )
         with timer.stage("bm"):
             disp = bm_pipeline(left, right, cfg)

@@ -33,20 +33,31 @@ from ..io import (
 from ..utils import StageTimer
 
 
-def builtin_cost_volumes(rl, rr, max_disp: int):
+def builtin_cost_volumes(rl, rr, max_disp: int, guided: bool = True):
     """Stand-in for the mc-cnn volume: AD+gradient cost, guided-filtered,
-    rescaled to the mc-cnn convention (lower better, range [0, 0.5])."""
+    rescaled to the mc-cnn convention (lower better, range [0, 0.5]).
+
+    guided=False skips the guided-filter stack — the RAW adgrad volume,
+    like the reference's 3DMST consumes its mc-cnn volume unfiltered
+    (src/stereo_Yin.cpp:150-210). ~3x fewer volume passes (the guided
+    stack is ~14 of the ~20 both-view passes); measured quality cost in
+    the seeded MST composition is small (GT 240x320: epe 0.216 vs
+    0.193, bad2 0.57% vs 0.20%, both far inside the battery gates;
+    rectified FLIR bad2 vs SGBM 2.0% vs 2.2% — raw slightly better),
+    with LR-valid coverage ~7pp lower. The throughput option; guided
+    stays the quality default."""
     import jax.numpy as jnp
 
     from ..ops.cost import adgrad_bgr_volumes, bgr_to_gray
     from ..ops.filters import guided_filter_volume
 
     vcfg = CostVolumeConfig(min_disp=0, max_disp=max_disp - 1)
-    g = GuidedFilterConfig()
     bgr_l, bgr_r = rl[..., ::-1], rr[..., ::-1]
     lvol, rvol = adgrad_bgr_volumes(bgr_l, bgr_r, vcfg)
-    lvol = guided_filter_volume(bgr_to_gray(bgr_l), lvol, g.radius, g.eps, g.slab)
-    rvol = guided_filter_volume(bgr_to_gray(bgr_r), rvol, g.radius, g.eps, g.slab)
+    if guided:
+        g = GuidedFilterConfig()
+        lvol = guided_filter_volume(bgr_to_gray(bgr_l), lvol, g.radius, g.eps, g.slab)
+        rvol = guided_filter_volume(bgr_to_gray(bgr_r), rvol, g.radius, g.eps, g.slab)
     scale = 0.5 / float(vcfg.bad_cost)
     return jnp.minimum(lvol * scale, 0.5), jnp.minimum(rvol * scale, 0.5)
 

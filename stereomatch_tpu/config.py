@@ -47,6 +47,14 @@ class BMConfig:
     speckle_window_size: int = 100
     speckle_range: int = 32
     disp12_max_diff: int = 1
+    # rectification valid-pixel ROIs (x, y, w, h), the bm->setROI1/2 the
+    # reference's legacy CLI feeds from stereoRectify
+    # (src/stereo_opencv (copy).cpp:258-268). When both are set, validity
+    # is restricted to cv::getValidDisparityROI(roi1, roi2, ...)
+    # (ops/bm.py::valid_disparity_roi, cv2-oracle-tested). Tuples keep
+    # the dataclass hashable (static jit arg).
+    roi1: tuple[int, int, int, int] | None = None
+    roi2: tuple[int, int, int, int] | None = None
 
 
 @dataclass(frozen=True)

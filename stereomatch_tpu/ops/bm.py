@@ -61,6 +61,30 @@ def _window_sum(x: jax.Array, radius: int) -> jax.Array:
     return s[radius:-radius, radius:-radius]
 
 
+def valid_disparity_roi(
+    roi1: tuple[int, int, int, int],
+    roi2: tuple[int, int, int, int],
+    min_disp: int,
+    num_disp: int,
+    block_size: int,
+) -> tuple[int, int, int, int]:
+    """cv::getValidDisparityROI: intersect the two rectification
+    valid-pixel ROIs (from stereo_rectify) with the disparity search
+    band and the block border — the rectangle the legacy CLI's BM
+    restricts itself to (ref: bm->setROI1/2 feeding from stereoRectify,
+    src/stereo_opencv (copy).cpp:258-268). Returns (x, y, w, h), all
+    zeros when empty. cv2-oracle-tested."""
+    sw2 = block_size // 2
+    min_d, max_d = min_disp, min_disp + num_disp - 1
+    xmin = max(roi1[0], roi2[0] + max_d) + sw2
+    xmax = min(roi1[0] + roi1[2], roi2[0] + roi2[2] + min_d) - sw2
+    ymin = max(roi1[1], roi2[1]) + sw2
+    ymax = min(roi1[1] + roi1[3], roi2[1] + roi2[3]) - sw2
+    if xmax - xmin > 0 and ymax - ymin > 0:
+        return (xmin, ymin, xmax - xmin, ymax - ymin)
+    return (0, 0, 0, 0)
+
+
 def bm_disparity(
     left_gray: jax.Array,
     right_gray: jax.Array,
@@ -125,6 +149,13 @@ def bm_disparity(
         & (ys >= r)
         & (ys < h - r)
     )
+    if cfg.roi1 is not None and cfg.roi2 is not None:
+        # rectification ROIs: restrict to getValidDisparityROI like
+        # cv::StereoBM with setROI1/setROI2
+        rx, ry, rw, rh = valid_disparity_roi(
+            cfg.roi1, cfg.roi2, cfg.min_disp, nd, cfg.block_size
+        )
+        roi_ok = roi_ok & (xs >= rx) & (xs < rx + rw) & (ys >= ry) & (ys < ry + rh)
 
     # disp12 cross-check (cv::validateDisparity semantics): right disparity
     # by min-cost projection of surviving left pixels, then floor/ceil-

@@ -281,6 +281,7 @@ def _cached_pipeline(fn: Callable, example_args: Sequence[Any],
 
 def _staged_vol_pipe(h: int, w: int, d: int,
                      out_dtype: str = "float32",
+                     guided: bool = True,
                      cache_dir: str | None = None) -> CompiledPipeline:
     """Stage executable: BGR pair -> (left, right) cost volumes.
 
@@ -293,11 +294,12 @@ def _staged_vol_pipe(h: int, w: int, d: int,
     img = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
 
     def vols(lb, rb):
-        vl, vr = builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d)
+        vl, vr = builtin_cost_volumes(lb[..., ::-1], rb[..., ::-1], d,
+                                      guided=guided)
         return vl.astype(out_dtype), vr.astype(out_dtype)
 
     return _cached_pipeline(vols, (img, img), cache_dir, "vol",
-                            f"{d}_{out_dtype}")
+                            f"{d}_{out_dtype}_{guided}")
 
 
 def _staged_seed_pipe(h: int, w: int, sgbm_cfg: SGBMConfig,
@@ -549,6 +551,7 @@ def compile_sgbm_mst_server(
     retry_backoff_s: float = 0.0,
     staged: bool = False,
     cache_dir: str | None = None,
+    volume_guided: bool = True,
 ) -> StereoStreamServer:
     """AOT-compile the production north-star pipeline for an HxW stream.
 
@@ -593,6 +596,7 @@ def compile_sgbm_mst_server(
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     if staged:
         vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    guided=volume_guided,
                                     cache_dir=cache_dir)
         seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
                                       cache_dir=cache_dir)
@@ -618,7 +622,8 @@ def compile_sgbm_mst_server(
     else:
         def frame(left_bgr, right_bgr, key):
             vl, vr = builtin_cost_volumes(
-                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d,
+                guided=volume_guided,
             )
             return _sgbm_mst_frame_fused(
                 left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
@@ -747,6 +752,7 @@ def compile_mst_video_server(
     staged: bool = False,
     reuse_forest: bool = False,
     cache_dir: str | None = None,
+    volume_guided: bool = True,
 ) -> VideoStreamServer:
     """AOT-compile the VIDEO serving pair for an HxW stream: the
     SGBM-seeded keyframe program plus the temporal refine-only program
@@ -818,6 +824,7 @@ def compile_mst_video_server(
         )
         if staged:
             vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    guided=volume_guided,
                                     cache_dir=cache_dir)
             seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
                                       cache_dir=cache_dir)
@@ -859,7 +866,8 @@ def compile_mst_video_server(
         else:
             def keyframe_rf(left_bgr, right_bgr, k):
                 vl, vr = builtin_cost_volumes(
-                    left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                    left_bgr[..., ::-1], right_bgr[..., ::-1], d,
+                    guided=volume_guided,
                 )
                 sl, sr = _seed_pair(
                     _gray_from_bgr(left_bgr), _gray_from_bgr(right_bgr),
@@ -880,7 +888,8 @@ def compile_mst_video_server(
 
             def refine_rf(left_bgr, right_bgr, pdl, pdr, fl, fr, k):
                 vl, vr = builtin_cost_volumes(
-                    left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                    left_bgr[..., ::-1], right_bgr[..., ::-1], d,
+                    guided=volume_guided,
                 )
                 kl, kr = jax.random.split(k)
                 dl = _refine_view_given_forest(
@@ -909,6 +918,7 @@ def compile_mst_video_server(
         )
     if staged:
         vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
+                                    guided=volume_guided,
                                     cache_dir=cache_dir)
         seed_pipe = _staged_seed_pipe(h, w, sgbm_cfg, right_seed,
                                       cache_dir=cache_dir)
@@ -945,7 +955,8 @@ def compile_mst_video_server(
     else:
         def keyframe(left_bgr, right_bgr, key):
             vl, vr = builtin_cost_volumes(
-                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d,
+                guided=volume_guided,
             )
             return _sgbm_mst_frame_fused(
                 left_bgr, right_bgr, vl, vr, key, cfg, sgbm_cfg,
@@ -955,7 +966,8 @@ def compile_mst_video_server(
 
         def refine(left_bgr, right_bgr, prev_dl, prev_dr, key):
             vl, vr = builtin_cost_volumes(
-                left_bgr[..., ::-1], right_bgr[..., ::-1], d
+                left_bgr[..., ::-1], right_bgr[..., ::-1], d,
+                guided=volume_guided,
             )
             return _mst_refine_frame_fused(
                 left_bgr, right_bgr, vl, vr,

@@ -90,3 +90,54 @@ def test_bm_pipeline_speckle_runs():
     valid = disp >= 0
     err = np.abs(disp - disp_true)[valid]
     assert (err < 1.0).mean() > 0.9
+
+
+def test_valid_disparity_roi_matches_cv2():
+    """cv::getValidDisparityROI oracle across rect/parameter combos —
+    the rectangle that bm->setROI1/2 restricts StereoBM to
+    (src/stereo_opencv (copy).cpp:258-268)."""
+    import cv2
+
+    from stereomatch_tpu.ops.bm import valid_disparity_roi
+
+    cases = [
+        ((0, 0, 640, 480), (0, 0, 640, 480), 0, 64, 9),
+        ((10, 5, 600, 470), (3, 8, 620, 460), 0, 128, 21),
+        ((16, 16, 500, 400), (40, 20, 550, 420), 16, 48, 5),
+        ((0, 0, 100, 100), (90, 0, 100, 100), 0, 64, 9),  # near-empty
+    ]
+    for roi1, roi2, mind, nd, bs in cases:
+        got = valid_disparity_roi(roi1, roi2, mind, nd, bs)
+        exp = tuple(cv2.getValidDisparityROI(roi1, roi2, mind, nd, bs))
+        if exp[2] <= 0 or exp[3] <= 0:
+            assert got == (0, 0, 0, 0), (got, exp)
+        else:
+            assert got == exp, (roi1, roi2, mind, nd, bs)
+
+
+def test_bm_respects_rectification_rois():
+    """BMConfig.roi1/roi2 restrict validity to the getValidDisparityROI
+    rectangle, like cv::StereoBM with setROI1/setROI2."""
+    rng = np.random.default_rng(11)
+    left, right, _ = _make_pair(rng)
+    h, w = left.shape
+    base = BMConfig(num_disp=32, block_size=9)
+    roi = BMConfig(num_disp=32, block_size=9,
+                   roi1=(0, 10, w, h - 30), roi2=(0, 10, w, h - 30))
+    out0 = bm_disparity(jnp.asarray(left, jnp.float32),
+                        jnp.asarray(right, jnp.float32), base)
+    out1 = bm_disparity(jnp.asarray(left, jnp.float32),
+                        jnp.asarray(right, jnp.float32), roi)
+    v0, v1 = np.asarray(out0.valid), np.asarray(out1.valid)
+    from stereomatch_tpu.ops.bm import valid_disparity_roi
+
+    rx, ry, rw, rh = valid_disparity_roi(roi.roi1, roi.roi2, 0, 32, 9)
+    assert ry > 0 and ry + rh < h
+    # outside the rect: everything invalid
+    assert not v1[:ry].any() and not v1[ry + rh:].any()
+    # inside the rect: identical to the unrestricted run
+    np.testing.assert_array_equal(v1[ry:ry + rh, rx:rx + rw],
+                                  v0[ry:ry + rh, rx:rx + rw])
+    np.testing.assert_array_equal(
+        np.asarray(out1.disparity)[ry:ry + rh, rx:rx + rw],
+        np.asarray(out0.disparity)[ry:ry + rh, rx:rx + rw])

@@ -414,6 +414,36 @@ def test_video_server_reuse_forest_absolute_gt_sequence():
     assert srv._prev_forest is None
 
 
+def test_server_raw_volume_mode_absolute_gt():
+    """volume_guided=False (raw adgrad volume, no guided-filter stack —
+    the reference's own 3DMST consumes its mc-cnn volume unfiltered,
+    src/stereo_Yin.cpp:150-210): ~3x fewer volume passes; served output
+    still meets the absolute GT gates (measured at 240x320: epe 0.216
+    vs guided 0.193, bad2 0.57% vs 0.20% — see builtin_cost_volumes
+    docstring for the full ablation)."""
+    from stereomatch_tpu.config import production_mst_config
+    from stereomatch_tpu.eval import disparity_metrics
+    from stereomatch_tpu.ops.postprocess import lr_consistency
+    from stereomatch_tpu.synthetic import render_scene, scene_eval_mask
+
+    H, W, D = 120, 160, 24
+    sc = render_scene(3, H, W, D)
+    cfg = production_mst_config(
+        D, on_tpu=False, min_cc_size=100, c=2000.0, forest_backend="device"
+    )
+    srv = compile_sgbm_mst_server(
+        H, W, cfg=cfg, fine_iterations=4, volume_guided=False)
+    dl, dr = srv.collect(srv.submit_pair(sc.left, sc.right, seed=0))
+    dl_checked, valid = lr_consistency(
+        jnp.asarray(dl), jnp.asarray(dr), float(D), fill=False
+    )
+    v = np.asarray(valid) & scene_eval_mask(sc)
+    assert v.mean() > 0.4, v.mean()
+    mm = disparity_metrics(np.asarray(dl_checked), sc.disp_left, v)
+    assert mm["epe"] < 0.8, mm
+    assert mm["bad2"] < 0.03, mm
+
+
 def test_video_server_reuse_forest_staged_matches_fused():
     """staged=True + reuse_forest=True: the 5-executable keyframe chain
     and the 3-executable temporal chain reproduce the fused reuse-forest
