@@ -1099,6 +1099,10 @@ def _arm_watchdog():
         head["extra"] = {**extra, "watchdog": "bench hit the hard exit "
                          f"deadline ({HARD_EXIT_S:.0f}s, {kind}); emitted "
                          "best-available headline"}
+        if head.get("value", 0) == 0:
+            head["note"] = ("tunnel wedged before any measurement; see "
+                            "the committed BENCH_LOCAL_r05.json for the "
+                            "last good in-repo measurements")
         print(json.dumps(head), flush=True)
         os._exit(0)
 
