@@ -132,7 +132,16 @@ def sgbm_mst_stereo(
 
 def _default_sgbm_cfg(cfg: MSTConfig) -> SGBMConfig:
     nd = -(-cfg.max_disp // 16) * 16
-    return SGBMConfig(min_disp=0, num_disp=nd, block_size=5)
+    # The seed pass inherits the MST volume dtype: with the production
+    # bf16 volume the SGBM aggregation also runs bf16 — D1 vs f32 =
+    # 0.000 at depth 128 (tests/test_sgbm.py bf16 gates) and the MST
+    # refinement repairs far coarser seeds than tie-level drift
+    # (PARITY.md degraded-seed table). Halves the SGBM stage's bytes
+    # and its ~6.5 GB staged-chain peak, and makes the pipeline match
+    # the headline model (which prices the SGBM term at the bf16
+    # roofline). Default f32 MSTConfig keeps the exact f32 seed.
+    dt = "bfloat16" if cfg.volume_dtype == "bfloat16" else "float32"
+    return SGBMConfig(min_disp=0, num_disp=nd, block_size=5, cost_dtype=dt)
 
 
 def sgbm_mst_stereo_fused(
