@@ -70,6 +70,29 @@ def _compress(parent: jax.Array, iters: int) -> jax.Array:
     return jax.lax.fori_loop(0, iters, lambda _, p: p[p], parent)
 
 
+def _compress_conv(parent: jax.Array) -> jax.Array:
+    """Pointer-jump to the fixpoint (p == p[p] everywhere) with a
+    convergence test instead of a blind log2(N) unroll. Same fixpoint,
+    typically FAR fewer N-sized gather rounds: inside the Boruvka MST
+    the post-hook chains have length <= ~3 (roots hook onto roots), so
+    ~2 rounds replace the old 21 — the fixed-round version spent
+    21 rounds x 21 jumps = 441 gather passes per build where ~30 carry
+    the same result (round-5 profiling; gathers are the forest build's
+    dominant cost on TPU). The extra cost is one N compare+reduce per
+    round, stream-rate cheap next to the gather it saves."""
+
+    def body(state):
+        p, _ = state
+        p2 = p[p]
+        return p2, jnp.all(p2 == p)
+
+    def cond(state):
+        return ~state[1]
+
+    p, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(False)))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # stage 2: per-component minimum spanning forest (Boruvka, unique keys)
 # ---------------------------------------------------------------------------
@@ -133,12 +156,26 @@ def _component_mst(lab, ea, eb, ew, n: int, rounds: int, jumps: int):
         # edge -> in the MST by the cut property; exactly one mark per merge
         tree = tree.at[jnp.where(hooked, be, e)].set(True, mode="drop")
         p = jnp.where(hooked, other, parent)
-        p = _compress(p, jumps)
-        return p, tree
+        p = _compress_conv(p)
+        return p, tree, jnp.any(hooked)
+
+    def cond(state):
+        return state[2]
+
+    def body(state):
+        p, tree, _ = state
+        return do_round(None, (p, tree))
 
     parent0 = me
     tree0 = jnp.zeros(e, bool)
-    parent, tree = jax.lax.fori_loop(0, rounds, do_round, (parent0, tree0))
+    # converge instead of running the blind log2(N) round bound: cluster
+    # count at least halves per round, and a round with zero hooks is
+    # the fixpoint (the final extra round only discovers convergence).
+    # `rounds`/`jumps` stay as the documented worst-case bound.
+    del rounds, jumps
+    _, tree, _ = jax.lax.while_loop(
+        cond, body, (parent0, tree0, jnp.bool_(True))
+    )
     return tree
 
 
@@ -275,14 +312,29 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
 
 def _ancestor_doubling(parent, vals, iters: int):
     """Sum each value along the ancestor chain (parent self-loops at
-    roots terminate accumulation since their contribution is 0)."""
+    roots terminate accumulation since their contribution is 0).
 
-    def body(_, state):
-        anc, vs = state
+    Runs to CONVERGENCE (all doubled ancestors are roots) instead of the
+    blind log2(N) bound `iters`: after k rounds anc is the 2^k-th
+    ancestor, so the loop stops at ceil(log2(max tree depth)) rounds —
+    typically ~8-10 on real segmentations vs the 21-round worst case.
+    anc2 == anc everywhere implies every anc is already a root, which
+    implies that round added only the roots' zero contributions and the
+    accumulation is complete."""
+    del iters  # documented worst-case bound; convergence governs
+
+    def body(state):
+        anc, vs, _ = state
         vs = tuple(v + v[anc] for v in vs)
-        return anc[anc], vs
+        anc2 = anc[anc]
+        return anc2, vs, jnp.all(anc2 == anc)
 
-    _, out = jax.lax.fori_loop(0, iters, body, (parent, tuple(vals)))
+    def cond(state):
+        return ~state[2]
+
+    _, out, _ = jax.lax.while_loop(
+        cond, body, (parent, tuple(vals), jnp.bool_(False))
+    )
     return out
 
 
@@ -404,7 +456,7 @@ def build_forest_device(
     lab = boruvka_segment(
         wr, wd, c, min_size, rounds=seg_rounds, merge_rounds=seg_merge_rounds
     ).reshape(-1)
-    lab = _compress(lab, logn)  # idempotent component root pixel ids
+    lab = _compress_conv(lab)  # idempotent component root pixel ids
 
     ea, eb = _grid_edges_idx(h, w)
     ew = jnp.concatenate([wr.reshape(-1), wd.reshape(-1)]).astype(jnp.float32)
@@ -452,7 +504,7 @@ def build_forest_device(
     band = jnp.floor(gd * jnp.float32(1.0 / delta)).astype(jnp.int32)
     segroot_mask = is_root | (band != band[parent])
     sr = jnp.where(segroot_mask, jnp.arange(n, dtype=jnp.int32), parent)
-    sr = _compress(sr, logn)  # nearest segment-root ancestor-or-self
+    sr = _compress_conv(sr)  # nearest segment-root ancestor-or-self
     rel_gd = gd - gd[sr]
     seg_depth = d_int - d_int[sr]  # # strict in-segment ancestors
     seg_key = pre_g[sr]  # segment discovery order, tree-major
