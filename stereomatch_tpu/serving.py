@@ -402,6 +402,8 @@ class _Pending:
     ticket: int
     outputs: Any
     replay: Callable[[], Any] | None = None  # host-side re-execution
+    stat: Any = None  # device scalar future (LR-valid fraction)
+    is_key: bool = False  # video executor: keyframe vs temporal frame
 
 
 class StereoStreamServer:
@@ -442,6 +444,10 @@ class StereoStreamServer:
         self.retries = retries
         self.retry_backoff_s = retry_backoff_s
         self.failures = 0
+        # subclasses set this to force replay-closure capture even with
+        # retries=0 (the video executor's quality-triggered reseed needs
+        # a keyframe replay path independent of failure recovery)
+        self._always_replay = False
         self._queue: deque[_Pending] = deque()
         self._next = 0
         self._done: dict[int, Any] = {}
@@ -465,7 +471,7 @@ class StereoStreamServer:
         _up = lambda a: jax.tree_util.tree_map(  # noqa: E731  pytree args
             lambda x: x if isinstance(x, jax.Array)
             else jax.device_put(jnp.asarray(x)), a)
-        if self.retries:
+        if self.retries or (self._always_replay and _replay_args is not None):
             # Host snapshot for replay after device-state loss. When
             # `_replay_args` is given (the video executor: a refine
             # frame's chained device seeds die with the worker), replay
@@ -646,6 +652,22 @@ def compile_sgbm_mst_server(
     return server
 
 
+def _make_lr_stat(max_disp: int) -> Callable[[Any, Any], Any]:
+    """Jitted LR-valid-fraction stat for scene-cut detection: one HxW
+    gather + compare over the frame's output maps — negligible next to
+    any volume pass, and dispatched asynchronously behind the frame
+    program (the scalar future materializes at _finish)."""
+    from .ops.postprocess import lr_consistency
+
+    @jax.jit
+    def stat(disp_l, disp_r):
+        _, valid = lr_consistency(disp_l, disp_r, float(max_disp),
+                                  fill=False)
+        return jnp.mean(valid.astype(jnp.float32))
+
+    return stat
+
+
 class VideoStreamServer(StereoStreamServer):
     """Stateful video executor: frame N's refined disparity maps seed
     frame N+1's plane labels ON DEVICE.
@@ -679,12 +701,29 @@ class VideoStreamServer(StereoStreamServer):
         retries: int = 0,
         retry_backoff_s: float = 0.0,
         reuse_forest: bool = False,
+        scene_cut_ratio: float = 0.0,
+        lr_stat: Callable[[Any, Any], Any] | None = None,
     ):
         super().__init__(keyframe_pipeline, capacity=capacity,
                          retries=retries, retry_backoff_s=retry_backoff_s)
         self.refine_pipeline = refine_pipeline
         self.reseed_every = reseed_every
         self.reuse_forest = reuse_forest
+        # Quality-triggered reseed (scene-cut detection): a temporal
+        # frame whose LR-valid fraction falls below scene_cut_ratio x
+        # the last keyframe's fraction is REPLAYED through the keyframe
+        # pipeline — the temporal ladder (temporal_refine_start px) only
+        # covers video-scale motion, so a hard cut leaves the seed
+        # pointing at the wrong scene (measured on the real FLIR rig:
+        # frames 000020->000040 are a large scene jump and the temporal
+        # frame's bad2 vs the SGBM oracle collapses 3%->35%; with the
+        # detector it recovers to keyframe quality). 0 disables.
+        self.scene_cut_ratio = scene_cut_ratio
+        self._lr_stat = lr_stat
+        self._always_replay = bool(scene_cut_ratio)
+        self.scene_cuts = 0  # observability: quality-triggered reseeds
+        self._key_frac: float | None = None
+        self._prev_ticket: int | None = None
         self._prev: Any = None
         self._prev_forest: Any = None  # (raw_l, raw_r) device pytrees
         self._since_key = 0  # frames submitted since last keyframe, incl. it
@@ -722,8 +761,46 @@ class VideoStreamServer(StereoStreamServer):
                 _replay_post=post,
             )
             self._since_key += 1
-        self._prev = self._queue[-1].outputs  # (disp_l, disp_r) device arrays
+        p = self._queue[-1]
+        p.is_key = keyframe
+        if self.scene_cut_ratio and self._lr_stat is not None:
+            # async device scalar chained on the frame's outputs; the
+            # host never syncs here (materialized at _finish)
+            p.stat = self._lr_stat(p.outputs[0], p.outputs[1])
+        self._prev = p.outputs  # (disp_l, disp_r) device arrays
+        self._prev_ticket = t
         return t
+
+    def _finish(self, p) -> None:
+        super()._finish(p)
+        if p.stat is None:
+            return
+        try:
+            frac = float(p.stat)
+        except Exception:
+            # the stat's buffers died with a worker crash that super()
+            # already recovered via replay — nothing to grade
+            return
+        if p.is_key:
+            self._key_frac = frac
+            return
+        ref = self._key_frac
+        if not (ref and p.replay is not None
+                and frac < self.scene_cut_ratio * ref):
+            return
+        # scene cut: the temporal seed belongs to a different scene —
+        # replay this frame through the keyframe pipeline (fresh SGBM
+        # seed + fresh forests; _capture_forest re-chains them)
+        self.scene_cuts += 1
+        out = p.replay()
+        self._done[p.ticket] = jax.tree_util.tree_map(np.asarray, out)
+        if self._prev_ticket == p.ticket:
+            # no newer frame submitted yet: re-key the temporal chain at
+            # this frame's keyframe-quality output and rephase cadence
+            self._prev = out
+            self._since_key = 1
+        if self._lr_stat is not None:
+            self._key_frac = float(self._lr_stat(out[0], out[1]))
 
     def reset(self) -> None:
         """Drop the temporal state (scene cut): the next frame reseeds
@@ -731,6 +808,8 @@ class VideoStreamServer(StereoStreamServer):
         self._prev = None
         self._prev_forest = None
         self._since_key = 0
+        self._key_frac = None
+        self._prev_ticket = None
 
 
 def compile_mst_video_server(
@@ -753,6 +832,7 @@ def compile_mst_video_server(
     reuse_forest: bool = False,
     cache_dir: str | None = None,
     volume_guided: bool = True,
+    scene_cut_ratio: float = 0.0,
 ) -> VideoStreamServer:
     """AOT-compile the VIDEO serving pair for an HxW stream: the
     SGBM-seeded keyframe program plus the temporal refine-only program
@@ -786,6 +866,15 @@ def compile_mst_video_server(
     moving GT sequence through the real executables
     (tests/test_serving.py); pair with `reseed_every` to bound forest
     staleness. RNG streams are unchanged.
+
+    `scene_cut_ratio` (0 disables) arms quality-triggered reseed: every
+    frame's LR-valid fraction is computed ON DEVICE (an HxW-cheap jitted
+    stat chained on the frame outputs — no host sync at submit); a
+    temporal frame whose fraction falls below `scene_cut_ratio` x the
+    last keyframe's is replayed through the keyframe pipeline at
+    collect time (`scene_cuts` counts them). This is the production
+    guard for hard cuts the temporal ladder cannot absorb — see
+    VideoStreamServer.__init__ for the measured FLIR motivation.
     """
     from .config import production_mst_config
     from .models.mst import _fused_capacities
@@ -915,6 +1004,7 @@ def compile_mst_video_server(
             key_pipe, ref_pipe, capacity=capacity,
             reseed_every=reseed_every, retries=retries,
             retry_backoff_s=retry_backoff_s, reuse_forest=True,
+            scene_cut_ratio=scene_cut_ratio, lr_stat=_make_lr_stat(d),
         )
     if staged:
         vol_pipe = _staged_vol_pipe(h, w, d, cfg.volume_dtype,
@@ -985,4 +1075,5 @@ def compile_mst_video_server(
     return VideoStreamServer(
         key_pipe, ref_pipe, capacity=capacity, reseed_every=reseed_every,
         retries=retries, retry_backoff_s=retry_backoff_s,
+        scene_cut_ratio=scene_cut_ratio, lr_stat=_make_lr_stat(d),
     )

