@@ -132,6 +132,7 @@ def run_mst(
     temporal_reseed: int | None = None,
     temporal_iterations: int = 2,
     temporal_refine_start: float = 4.0,
+    scene_cut_ratio: float = 0.0,
 ):
     """Streaming 3DMST with the host forest build OFF the critical path:
     frame N+1's forests are built by a worker thread (the ctypes C++
@@ -157,7 +158,14 @@ def run_mst(
     (default 4.0 — the annealed ladder must cover the expected
     inter-frame motion in pixels; 2.0 at 3 px drift doubled bad2).
     Keyframes keep the single-frame recipe (full `iterations` budget,
-    refine_start=2.0)."""
+    refine_start=2.0).
+
+    scene_cut_ratio (video mode, 0 disables) arms quality-triggered
+    reseed: a temporal frame whose LR-valid fraction falls below
+    ratio x the last keyframe's is redone as a keyframe — the temporal
+    ladder only covers video-scale motion, and the bundled FLIR ids are
+    hard scene jumps (serving.VideoStreamServer has the measured
+    motivation; 0.6 is the validated threshold)."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -218,6 +226,8 @@ def run_mst(
 
     disps, waits = [], []
     prev_maps = None  # (dense left, dense right) refined maps for temporal seeding
+    key_frac = None  # last keyframe's LR-valid fraction (scene-cut ref)
+    scene_cuts = []  # frame ids reseeded by the quality trigger
     os.makedirs(out_dir, exist_ok=True)
     with ThreadPoolExecutor(max_workers=2) as ex:
         futs = {0: ex.submit(build_pair, 0)}
@@ -249,42 +259,62 @@ def run_mst(
                         and prev_maps is not None
                         and not (temporal_reseed and i % temporal_reseed == 0)
                     )
-                    if temporal_frame:
-                        sdl, sdr = prev_maps  # video mode: previous refined maps
-                        # the measured video recipe (ADVICE r3): short
-                        # budget + a ladder that covers the motion
-                        it_i = temporal_iterations
-                        rs_i = temporal_refine_start
-                    else:
+
+                    def solve(sdl, sdr, it_i, rs_i):
+                        inits = []
+                        for sd, fa, vol in ((sdl, fa_l, lv), (sdr, fa_r, rv)):
+                            a0, b0, c0 = plane_labels_from_disparity(
+                                jnp.clip(sd, 0.0, span), fa
+                            )
+                            inits.append((a0, b0, c0, _seed_min_cost(
+                                vol, a0, b0, c0, fa, cfg)))
+                        a, b, c, _ = mst_pms_optimize(
+                            kl, lv, fa_l, cfg, init_state=inits[0],
+                            iterations=it_i, refine_start=rs_i,
+                        )
+                        dl = labels_to_disparity(a, b, c, fa_l, max_disp) * span
+                        a, b, c, _ = mst_pms_optimize(
+                            kr, rv, fa_r, cfg, init_state=inits[1],
+                            iterations=it_i, refine_start=rs_i,
+                        )
+                        dr = labels_to_disparity(a, b, c, fa_r, max_disp) * span
+                        return dl, dr
+
+                    def solve_keyframe():
                         sdl, sdr = sgbm_seed_disparities(
                             bl, br, _default_sgbm_cfg(cfg)
                         )
-                        it_i, rs_i = None, 2.0  # single-frame seeded recipe
-                    inits = []
-                    for sd, fa, vol in ((sdl, fa_l, lv), (sdr, fa_r, rv)):
-                        a0, b0, c0 = plane_labels_from_disparity(
-                            jnp.clip(sd, 0.0, span), fa
-                        )
-                        inits.append(
-                            (a0, b0, c0, _seed_min_cost(vol, a0, b0, c0, fa, cfg))
-                        )
-                    a, b, c, _ = mst_pms_optimize(
-                        kl, lv, fa_l, cfg, init_state=inits[0],
-                        iterations=it_i, refine_start=rs_i,
-                    )
-                    dl = labels_to_disparity(a, b, c, fa_l, max_disp) * span
-                    a, b, c, _ = mst_pms_optimize(
-                        kr, rv, fa_r, cfg, init_state=inits[1],
-                        iterations=it_i, refine_start=rs_i,
-                    )
-                    dr = labels_to_disparity(a, b, c, fa_r, max_disp) * span
+                        return solve(sdl, sdr, None, 2.0)
+
+                    if temporal_frame:
+                        # the measured video recipe (ADVICE r3): short
+                        # budget + a ladder that covers the motion
+                        dl, dr = solve(*prev_maps, temporal_iterations,
+                                       temporal_refine_start)
+                        if scene_cut_ratio and key_frac:
+                            frac = float(jnp.mean(lr_consistency(
+                                dl, dr, float(max_disp), fill=False
+                            )[1].astype(jnp.float32)))
+                            if frac < scene_cut_ratio * key_frac:
+                                # quality-triggered reseed (see
+                                # serving.VideoStreamServer): the
+                                # temporal ladder cannot absorb a hard
+                                # scene cut — redo as keyframe
+                                scene_cuts.append(fid)
+                                temporal_frame = False
+                                dl, dr = solve_keyframe()
+                    else:
+                        dl, dr = solve_keyframe()
                     prev_maps = (dl, dr)
                 else:
+                    temporal_frame = False
                     a, b, c, _ = mst_pms_optimize(kl, lv, fa_l, cfg)
                     dl = labels_to_disparity(a, b, c, fa_l, max_disp) * (max_disp - 1.0)
                     a, b, c, _ = mst_pms_optimize(kr, rv, fa_r, cfg)
                     dr = labels_to_disparity(a, b, c, fa_r, max_disp) * (max_disp - 1.0)
-                dl, _ = lr_consistency(dl, dr, float(max_disp), fill=False)
+                dl, valid = lr_consistency(dl, dr, float(max_disp), fill=False)
+                if not temporal_frame:  # keyframe (or reseeded frame)
+                    key_frac = float(jnp.mean(valid.astype(jnp.float32)))
                 dl = np.asarray(dl)
             disps.append(dl)
             save_disparity_png(
@@ -296,6 +326,9 @@ def run_mst(
             "forest wait per frame (s):",
             " ".join(f"{wt:.3f}" for wt in waits),
         )
+        if scene_cuts:
+            print("scene cuts (reseeded frames):",
+                  " ".join(f"{fid:06d}" for fid in scene_cuts))
     return np.stack(disps), waits
 
 
@@ -327,6 +360,10 @@ def main():
     ap.add_argument("--temporal-refine-start", type=float, default=4.0,
                     help="video mode: annealed-ladder entry (px) on "
                     "temporal frames — set >= expected inter-frame motion")
+    ap.add_argument("--scene-cut-ratio", type=float, default=0.0,
+                    help="video mode: reseed a temporal frame whose "
+                    "LR-valid fraction drops below this ratio of the "
+                    "last keyframe's (0 disables; 0.6 validated)")
     a = ap.parse_args()
     if a.engine in ("mst", "sgbm_mst"):
         seeded = a.engine == "sgbm_mst"
@@ -336,7 +373,8 @@ def main():
                 forest_backend=a.forest_backend, sgbm_seed=seeded,
                 temporal_reseed=a.temporal_reseed,
                 temporal_iterations=a.temporal_iterations,
-                temporal_refine_start=a.temporal_refine_start)
+                temporal_refine_start=a.temporal_refine_start,
+                scene_cut_ratio=a.scene_cut_ratio)
     else:
         run(a.data_dir, a.calib, a.out_dir, scale=a.scale, max_disp=a.max_disp,
             resume=a.resume)

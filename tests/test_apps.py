@@ -154,3 +154,24 @@ def test_stream_mst_temporal_video_mode(tmp_path):
     assert disps.shape[0] == 2 and len(waits) == 2
     assert np.isfinite(disps).all()
     assert disps.max() <= 16.0 and disps.min() >= 0.0
+
+
+def test_stream_mst_scene_cut_reseed(tmp_path, capsys):
+    """Video mode + scene_cut_ratio: with a near-1 threshold the
+    000020->000040 jump (a hard scene change, not a smooth video step —
+    measured round 5) forces the temporal frame to reseed as a
+    keyframe; the reseed is reported. App-layer wiring for the
+    serving-layer detector (test_video_server_scene_cut_detection)."""
+    if not os.path.isdir("/root/reference/build"):
+        pytest.skip("reference data not mounted")
+    from stereomatch_tpu.apps import stream
+
+    disps, _ = stream.run_mst(
+        "/root/reference/build", "/root/reference/cam_stereo_pheno.yml",
+        str(tmp_path), ids=(20, 40), scale=1 / 16.0, max_disp=16,
+        iterations=2, verbose=True, sgbm_seed=True, temporal_reseed=0,
+        scene_cut_ratio=0.98,
+    )
+    out = capsys.readouterr().out
+    assert "scene cuts (reseeded frames): 000040" in out, out[-500:]
+    assert disps.shape[0] == 2 and np.isfinite(disps).all()
