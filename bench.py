@@ -403,11 +403,14 @@ except Exception as e:
 # intermediate print: the bench salvages this line if the full-size
 # attempt below hangs past the probe timeout
 print(json.dumps(out), flush=True)
-# 2) full size only if the remaining budget can absorb a slow crash
-# (measured: a crashing full-size attempt burns ~10 min through the
-# tunnel — compile succeeds, execution kills the worker)
+# 2) full size: RUNS since round 5 (docs/dev/fused_crash_bisect.json,
+# 2026-08-20: the whole 640->896->1088->1280 ladder compiles AND runs —
+# the r04 worker crash is gone after the convergence-loop device forest
+# cut the program's gather work; measured full-size cost ~316 s cold
+# cache / ~210 s warm). Guard sized to the measured success cost, not
+# the old crash cost.
 for on_tpu in (True, False):
-    if left_s() < 420:
+    if left_s() < 330:
         out.setdefault("full_1280x960", {"status": "skipped_budget"})
         break
     try:
