@@ -821,6 +821,11 @@ def _compose_full(extra):
     if meas_frame_s:
         rec["ratio_measured_over_model"] = round(
             meas_frame_s / max(local_model_s, 1e-9), 2)
+    # second anchor: the ONE-PROGRAM full-size fused frame (runs since
+    # the round-5 convergence-loop forest; docs/dev/fused_crash_bisect)
+    fus = extra.get("sgbm_mst_fused_e2e", {}).get("full_1280x960", {})
+    if fus.get("s_per_frame"):
+        rec["fused_measured_s_per_frame"] = fus["s_per_frame"]
     extra["sgbm_plus_mst_seeded_full"] = {
         "v5e_fps_all_terms_measured": round(fps_full, 2),
         "terms_v5e_ms": terms,
@@ -1481,6 +1486,11 @@ def main():
     # XLA program on the chip — a single measured s/frame + the XLA cost
     # model's own bytes-accessed cross-check. ----
     _subprocess_probe("sgbm_mst_fused_e2e", FUSED_CODE, 700, extra, min_s=240)
+    try:
+        _compose_full(extra)  # fold the fused full-size anchor into rec
+    except Exception as e:
+        print(f"full composition (fused anchor) skipped: {e}",
+              file=sys.stderr)
     _emit(" +fused")
 
     # ---- host forest builder at native scale (host-only: zero tunnel
@@ -1643,18 +1653,12 @@ def main():
 
     _emit(" +inline_engines")
 
-    # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
-    # seeded-ladder configuration, ONE iteration, candidate-chunked —
-    # proves the volume-scale program compiles and runs on-chip (bf16
-    # volume 1.6 GB resident + node-order copy). ----
-    _subprocess_probe("mst_native_2048x1536x256", MST_NATIVE_CODE, 600,
-                      extra, min_s=240)
-    _emit(" +mst_native")
-
     # ---- on-device forest builder (ops/device_forest.py): the host-free
     # alternative to treebuild — segmentation + Boruvka MST + Euler
-    # numbering as one jitted program. Subprocess-guarded: the program is
-    # sort/Wyllie-heavy and large for the tunnel's remote compiler.
+    # numbering as one jitted program. BEFORE mst_native on purpose:
+    # this entry is _compose_full's forest-term fallback, and mst_native
+    # has hung its whole timeout on flaky-tunnel days (v3 run: 356 s
+    # burned right after the full-size fused execution), starving it.
     # Timings here are tunnel-environmental (random-class gathers run at
     # ~0.5 GB/s on this link, memsys); the entry records measured ms +
     # the structural note that the build is sort+pointer-jump bound
@@ -1668,6 +1672,14 @@ def main():
     except Exception as e:
         print(f"full composition retry skipped: {e}", file=sys.stderr)
     _emit(" +forest_device")
+
+    # ---- 3DMST at the reference's NATIVE scale (2048x1536x256): the
+    # seeded-ladder configuration, ONE iteration, candidate-chunked —
+    # proves the volume-scale program compiles and runs on-chip (bf16
+    # volume 1.6 GB resident + node-order copy). ----
+    _subprocess_probe("mst_native_2048x1536x256", MST_NATIVE_CODE, 600,
+                      extra, min_s=240)
+    _emit(" +mst_native")
 
     # ---- PatchMatch: subprocess probe (window-cost engine; bounded).
     # The tunnel worker has crashed on the large program on some days
