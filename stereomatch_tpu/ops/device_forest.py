@@ -269,15 +269,28 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     # Wyllie suffix count -> tour position (ints, exact)
     cnt = jnp.where(live, 1, 0).astype(jnp.int32)
 
-    def wyllie(_, state):
-        v, p = state
+    # convergence-tested (round-5, same pattern as _component_mst /
+    # _compress_conv): the ranking is DONE when every successor pointer
+    # is -1, after ceil(log2(longest tour)) doubling rounds — the blind
+    # schedule's log2(2E)+1 = 24 rounds paid 2 arc-sized gathers each
+    # for the worst case of one tree spanning the whole image. One
+    # arc-sized compare+reduce per round buys the early exit;
+    # bit-identical (extra rounds past the fixpoint are no-ops).
+    def wyllie_cond(state):
+        _, p, k = state
+        return (k < _ceil_log2(na) + 1) & jnp.any(p >= 0)
+
+    def wyllie(state):
+        v, p, k = state
         has = p >= 0
         pc = jnp.clip(p, 0, na - 1)
         v = v + jnp.where(has, v[pc], 0)
         p = jnp.where(has, p[pc], -1)
-        return v, p
+        return v, p, k + 1
 
-    cnt, _ = jax.lax.fori_loop(0, _ceil_log2(na) + 1, wyllie, (cnt, nxt))
+    cnt, _, _ = jax.lax.while_loop(
+        wyllie_cond, wyllie, (cnt, nxt, jnp.int32(0))
+    )
     tsize = jnp.zeros(n, jnp.int32).at[lab].add(1)  # per ROOT pixel
     arcs_tree = 2 * (tsize[root_of_arc] - 1)
     pos = jnp.where(live, arcs_tree - cnt, -1)  # 0-based within tree

@@ -56,6 +56,29 @@ def _pointer_jump(parent, iters=20):
     return jax.lax.fori_loop(0, iters, body, parent)
 
 
+def _pointer_jump_conv(parent):
+    """Pointer compression run to its FIXPOINT (p[p] == p everywhere)
+    instead of a blind fixed jump count. Hook-to-min keeps real hook
+    chains short, so this converges in ~2-3 doubling rounds where the
+    old schedule burned 12 N-sized gathers per segmentation round; the
+    result is identical (full compression is the fixpoint of any jump
+    count >= chain depth). One stream-cheap compare+reduce per round
+    buys the early exit — the same convergence-loop pattern as
+    device_forest._compress_conv."""
+
+    def cond(s):
+        _, done = s
+        return ~done
+
+    def body(s):
+        p, _ = s
+        p2 = p[p]
+        return p2, jnp.all(p2 == p)
+
+    p, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(False)))
+    return p
+
+
 @partial(jax.jit, static_argnames=("rounds", "min_size", "merge_rounds"))
 def boruvka_segment(
     wr: jax.Array,
@@ -118,7 +141,7 @@ def boruvka_segment(
         hooked = has & (other < me) & (parent == me)
         hook = jnp.where(hooked, other, me)
         p = jnp.where(parent == me, hook, parent)
-        p = _pointer_jump(p, 12)
+        p = _pointer_jump_conv(p)
         # fold sizes and internal-max weights into the new roots
         new_size = jnp.zeros(n, jnp.int32).at[p].add(1)
         contrib = jnp.where(
@@ -127,13 +150,33 @@ def boruvka_segment(
             0.0,
         )
         new_wint = jnp.zeros(n).at[p].max(contrib)
-        return p, new_size, new_wint
+        return (p, new_size, new_wint), jnp.any(hooked)
+
+    def run_phase(state, gate, max_rounds):
+        # convergence-tested rounds (round-5): a round with ZERO hooks is
+        # a fixpoint — thr, sizes and roots are all unchanged, so no
+        # later round can differ — and real images converge well before
+        # the worst-case schedule (the old unrolled 12+6 rounds burned
+        # their full gather budget AND compiled 18 copies of the round
+        # body). max_rounds keeps the old schedule as the hard bound, so
+        # the output is bit-identical to the unrolled version.
+        def cond(s):
+            _, k, prog = s
+            return (k < max_rounds) & prog
+
+        def body(s):
+            st, k, _ = s
+            st2, hooked_any = do_round(st, gate)
+            return st2, k + 1, hooked_any
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.bool_(True))
+        )
+        return out
 
     state = (parent0, size0, wint0)
-    for _ in range(rounds):
-        state = do_round(state, True)
-    for _ in range(merge_rounds):
-        state = do_round(state, False)
+    state = run_phase(state, True, rounds)
+    state = run_phase(state, False, merge_rounds)
     return state[0].reshape(h, w)
 
 
