@@ -49,13 +49,6 @@ def _grid_edges(wr: jax.Array, wd: jax.Array):
     )
 
 
-def _pointer_jump(parent, iters=20):
-    def body(_, p):
-        return p[p]
-
-    return jax.lax.fori_loop(0, iters, body, parent)
-
-
 def _pointer_jump_conv(parent):
     """Pointer compression run to its FIXPOINT (p[p] == p everywhere)
     instead of a blind fixed jump count. Hook-to-min keeps real hook

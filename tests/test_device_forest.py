@@ -29,9 +29,15 @@ from stereomatch_tpu.ops.mst import (
 )
 
 
-def _random_weights(rng, h, w, tied: bool):
+def _random_weights(rng, h, w, tied):
     e = h * (w - 1) + (h - 1) * w
-    if tied:
+    if tied == "flat":
+        # all-zero weights: one component spanning the whole image — the
+        # deepest tour/chains the Euler Wyllie ranking and ancestor
+        # doubling ever see (their convergence loops must run to the full
+        # round bound and still match the Kruskal oracle exactly)
+        ew = np.zeros(e, np.float32)
+    elif tied:
         ew = rng.integers(0, 6, e).astype(np.float32)
     else:
         ew = rng.permutation(e).astype(np.float32) * 0.03
@@ -52,6 +58,7 @@ def _undirected(pairs):
 
 @pytest.mark.parametrize("seed,tied,delta", [
     (0, False, 2.0), (1, True, 2.0), (2, True, 0.5), (3, False, 8.0),
+    (4, "flat", 2.0),
 ])
 def test_structure_and_mst_parity(seed, tied, delta):
     rng = np.random.default_rng(seed)
