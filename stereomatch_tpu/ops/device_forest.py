@@ -122,29 +122,28 @@ def _component_mst(lab, ea, eb, ew, n: int, rounds: int, jumps: int):
     smaller root), so cluster count at least halves per round.
     """
     e = ea.shape[0]
-    inf = jnp.float32(3.0e38)
     big = jnp.int32(2**30)
     me = jnp.arange(n, dtype=jnp.int32)
     eid = jnp.arange(e, dtype=jnp.int32)
     same = lab[ea] == lab[eb]
+    # edge RANKS by (weight, edge id), computed once: the per-cluster
+    # minimum key then needs ONE int32 scatter-min over ranks per round
+    # instead of the float scatter-min + tie-break hit masks + second
+    # scatter-min over ids — identical minimizer (rank order IS the
+    # (weight, id) lexicographic order), ~half the round's passes
+    # (docs/dev/forest_stage_profile: this stage is gather-bound).
+    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+    rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
 
     def do_round(_, state):
         parent, tree = state
         ra = parent[ea]
         rb = parent[eb]
         ok = same & (ra != rb)
-        wv = jnp.where(ok, ew, inf)
-        # two-stage min: weight, then edge id among weight-ties
-        best_w = jnp.full(n, inf).at[ra].min(wv).at[rb].min(wv)
-        hit_a = ok & (wv <= best_w[ra])
-        hit_b = ok & (wv <= best_w[rb])
-        best_e = (
-            jnp.full(n, big, jnp.int32)
-            .at[ra].min(jnp.where(hit_a, eid, big))
-            .at[rb].min(jnp.where(hit_b, eid, big))
-        )
-        has = best_e < big
-        be = jnp.clip(best_e, 0, e - 1)
+        rv = jnp.where(ok, rank, big)
+        best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
+        has = best_r < big
+        be = eid_by_rank[jnp.clip(best_r, 0, e - 1)]
         ra_e = parent[ea[be]]
         rb_e = parent[eb[be]]
         other = jnp.where(ra_e == me, rb_e, ra_e)
@@ -266,31 +265,42 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     nxt = jnp.where(live & (succ != start_arc), succ, -1)
     nxt = jnp.where(live, nxt, -1)
 
-    # Wyllie suffix count -> tour position (ints, exact)
-    cnt = jnp.where(live, 1, 0).astype(jnp.int32)
+    # Wyllie suffix count -> tour position (ints, exact). Two round-5
+    # traffic cuts, both bit-identical:
+    #  - COMPACTION: only tree arcs are live (<= 2N-2 of the 2E ~ 4N
+    #    grid arcs — half the array is dead weight), so the ranking runs
+    #    on live arcs renumbered by a cumsum; 3 stream/scatter passes of
+    #    setup+teardown halve every doubling round's gather bytes.
+    #  - CONVERGENCE (same pattern as _component_mst / _compress_conv):
+    #    done when every successor pointer is -1, after ceil(log2(longest
+    #    tour)) rounds — the blind schedule paid the full log2 bound for
+    #    the worst case of one tree spanning the whole image.
+    m = 2 * n  # static live-arc capacity (2*(N-1) max over any forest)
+    cpos = jnp.cumsum(live.astype(jnp.int32)) - 1  # live-arc index
+    tgt = jnp.where(live, cpos, m)
+    has_nxt = live & (nxt >= 0)
+    cnxt = jnp.full(m, -1, jnp.int32).at[tgt].set(
+        jnp.where(has_nxt, cpos[jnp.clip(nxt, 0, na - 1)], -1),
+        mode="drop",
+    )
+    ccnt = jnp.zeros(m, jnp.int32).at[tgt].set(1, mode="drop")
 
-    # convergence-tested (round-5, same pattern as _component_mst /
-    # _compress_conv): the ranking is DONE when every successor pointer
-    # is -1, after ceil(log2(longest tour)) doubling rounds — the blind
-    # schedule's log2(2E)+1 = 24 rounds paid 2 arc-sized gathers each
-    # for the worst case of one tree spanning the whole image. One
-    # arc-sized compare+reduce per round buys the early exit;
-    # bit-identical (extra rounds past the fixpoint are no-ops).
     def wyllie_cond(state):
         _, p, k = state
-        return (k < _ceil_log2(na) + 1) & jnp.any(p >= 0)
+        return (k < _ceil_log2(m) + 1) & jnp.any(p >= 0)
 
     def wyllie(state):
         v, p, k = state
         has = p >= 0
-        pc = jnp.clip(p, 0, na - 1)
+        pc = jnp.clip(p, 0, m - 1)
         v = v + jnp.where(has, v[pc], 0)
         p = jnp.where(has, p[pc], -1)
         return v, p, k + 1
 
-    cnt, _, _ = jax.lax.while_loop(
-        wyllie_cond, wyllie, (cnt, nxt, jnp.int32(0))
+    ccnt, _, _ = jax.lax.while_loop(
+        wyllie_cond, wyllie, (ccnt, cnxt, jnp.int32(0))
     )
+    cnt = jnp.where(live, ccnt[jnp.clip(cpos, 0, m - 1)], 0)
     tsize = jnp.zeros(n, jnp.int32).at[lab].add(1)  # per ROOT pixel
     arcs_tree = 2 * (tsize[root_of_arc] - 1)
     pos = jnp.where(live, arcs_tree - cnt, -1)  # 0-based within tree

@@ -91,6 +91,17 @@ def boruvka_segment(
     w = wd.shape[1]
     n = h * w
     ea, eb, ew = _grid_edges(wr, wd)
+    e = ea.shape[0]
+
+    # edge RANKS by (weight, edge id), computed once: each round's
+    # cluster-minimum then needs ONE int32 scatter-min over ranks instead
+    # of a float scatter-min plus tie-break hit masks plus a second
+    # scatter-min over ids — the same minimizer (ranks order exactly by
+    # (weight, id)), at ~half the round's scatter/gather passes. Gathers
+    # are this builder's dominant TPU cost (docs/dev/forest_stage_profile).
+    eid = jnp.arange(e, dtype=jnp.int32)
+    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+    rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
 
     parent0 = jnp.arange(n, dtype=jnp.int32)
     size0 = jnp.ones(n, jnp.int32)
@@ -112,19 +123,11 @@ def boruvka_segment(
             ok = cross & (ew <= thr[ra]) & (ew <= thr[rb])
         else:
             ok = cross & ((size[ra] < min_size) | (size[rb] < min_size))
-        wv = jnp.where(ok, ew, _INF)
-        best_w = jnp.full(n, _INF).at[ra].min(wv).at[rb].min(wv)
-        eid = jnp.arange(ea.shape[0], dtype=jnp.int32)
         big = jnp.int32(2**30)
-        hit_a = ok & (wv <= best_w[ra])
-        hit_b = ok & (wv <= best_w[rb])
-        best_e = (
-            jnp.full(n, big, jnp.int32)
-            .at[ra].min(jnp.where(hit_a, eid, big))
-            .at[rb].min(jnp.where(hit_b, eid, big))
-        )
-        has = best_e < big
-        be = jnp.clip(best_e, 0, ea.shape[0] - 1)
+        rv = jnp.where(ok, rank, big)
+        best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
+        has = best_r < big
+        be = eid_by_rank[jnp.clip(best_r, 0, e - 1)]
         ra_e = parent[ea[be]]
         rb_e = parent[eb[be]]
         other = jnp.where(ra_e == me, rb_e, ra_e)
@@ -139,7 +142,7 @@ def boruvka_segment(
         new_size = jnp.zeros(n, jnp.int32).at[p].add(1)
         contrib = jnp.where(
             parent == me,
-            jnp.maximum(wint, jnp.where(hooked, best_w[me], 0.0)),
+            jnp.maximum(wint, jnp.where(hooked, ew[be], 0.0)),
             0.0,
         )
         new_wint = jnp.zeros(n).at[p].max(contrib)
