@@ -227,9 +227,12 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     aid = jnp.arange(na, dtype=jnp.int32)
     edge_of = jnp.where(aid < e, aid, aid - e)
     fwd = aid < e
-    tail = jnp.where(fwd, ea[edge_of], eb[edge_of])
-    head = jnp.where(fwd, eb[edge_of], ea[edge_of])
-    live = tree_edge[edge_of]
+    # arc tables are CONCATENATIONS (arc = edge for a->b, edge + E for
+    # b->a), not gathers — ea[edge_of] etc. would be arc-sized gathers
+    # with affine indices the compiler may not recognize as copies
+    tail = jnp.concatenate([ea, eb])
+    head = jnp.concatenate([eb, ea])
+    live = jnp.concatenate([tree_edge, tree_edge])
 
     # slot of the arc's edge at its head pixel: forward arcs enter b
     # (slot L for right edges, U for down), backward arcs enter a (R / D)
@@ -246,13 +249,21 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     )  # (4, N)
 
     # successor: next live outgoing slot after in_slot (cyclic); the
-    # reverse arc's own slot is always live, so a hit is guaranteed
+    # reverse arc's own slot is always live, so a hit is guaranteed.
+    # The per-pixel slot table is PACKED into (N, 4) rows ("live
+    # outgoing arc or -1") so the whole construction costs ONE arc-sized
+    # row gather at head — the naive form paid 8 arc-sized gathers
+    # (live flag + out arc, 4 slots each); the column select afterwards
+    # works on already-gathered rows (elementwise, stream-class)
+    slot_arc = jnp.where(inc_live, out_arc, -1).T  # (N, 4) int32
+    arcs4 = slot_arc[head]  # (na, 4)
     succ = jnp.full(na, -1, jnp.int32)
     taken = jnp.zeros(na, bool)
     for off in range(1, 5):
         k = (in_slot + off) % 4
-        ok = ~taken & inc_live[k, head]
-        succ = jnp.where(ok, out_arc[k, head], succ)
+        cand = jnp.take_along_axis(arcs4, k[:, None], axis=1)[:, 0]
+        ok = ~taken & (cand >= 0)
+        succ = jnp.where(ok, cand, succ)
         taken = taken | ok
 
     # root = the component label pixel; its first live outgoing arc
@@ -305,9 +316,11 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     arcs_tree = 2 * (tsize[root_of_arc] - 1)
     pos = jnp.where(live, arcs_tree - cnt, -1)  # 0-based within tree
 
-    # down arc = precedes its reverse = the discovery arc of its head
-    rev = jnp.where(fwd, aid + e, aid - e)
-    down = live & (pos < pos[rev])
+    # down arc = precedes its reverse = the discovery arc of its head.
+    # rev(a) = a +- E is a pure half-rotation, so pos[rev] is two slices
+    # (stream), never an arc-sized gather
+    pos_rev = jnp.concatenate([pos[e:], pos[:e]])
+    down = live & (pos < pos_rev)
 
     parent = jnp.arange(n, dtype=jnp.int32)
     parent = parent.at[jnp.where(down, head, n)].set(
@@ -316,7 +329,7 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
 
     # subtree size: the arcs in [pos(down), pos(rev)] span exactly
     # 2*tsub positions, so tsub = (pos(rev) - pos(down) + 1) / 2
-    tsub_arc = (pos[rev] - pos + 1) // 2
+    tsub_arc = (pos_rev - pos + 1) // 2
     tsub = tsize[lab]  # roots: whole tree
     tsub = tsub.at[jnp.where(down, head, n)].set(
         jnp.where(down, tsub_arc, 0), mode="drop"

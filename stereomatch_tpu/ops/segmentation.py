@@ -116,13 +116,28 @@ def boruvka_segment(
         # component that sat out one round collapsed its threshold to
         # c/|C| and merging stalled — badly under-merging vs the oracle)
         thr = wint + jnp.float32(c) / jnp.maximum(size, 1).astype(jnp.float32)
-        ra = parent[ea]
-        rb = parent[eb]
+        # PACKED endpoint gather: (root, root's gate value) ride one
+        # two-column row gather per endpoint instead of a parent gather
+        # plus a chained thr/size gather — edge-side gathers are the
+        # round's dominant cost and are transaction-bound, not
+        # byte-bound, through the gather units. parent/size fit f32
+        # EXACTLY (< 2^24 for any supported image). The gate value lives
+        # at ROOT indices (size/wint scatter onto roots), so it is first
+        # pulled down to every pixel through parent — one N-sized gather
+        # replacing two chained E-sized ones per endpoint.
+        aux = thr if gate else size.astype(jnp.float32)
+        pack = jnp.stack([parent.astype(jnp.float32), aux[parent]], axis=1)
+        ga = pack[ea]
+        gb = pack[eb]
+        ra = ga[:, 0].astype(jnp.int32)
+        rb = gb[:, 0].astype(jnp.int32)
         cross = ra != rb
         if gate:
-            ok = cross & (ew <= thr[ra]) & (ew <= thr[rb])
+            ok = cross & (ew <= ga[:, 1]) & (ew <= gb[:, 1])
         else:
-            ok = cross & ((size[ra] < min_size) | (size[rb] < min_size))
+            ok = cross & (
+                (ga[:, 1] < float(min_size)) | (gb[:, 1] < float(min_size))
+            )
         big = jnp.int32(2**30)
         rv = jnp.where(ok, rank, big)
         best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
