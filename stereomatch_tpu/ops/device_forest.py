@@ -111,7 +111,9 @@ def _grid_edges_idx(h: int, w: int):
     return ea, eb
 
 
-def _component_mst(lab, ea, eb, ew, n: int, rounds: int, jumps: int):
+def _component_mst(
+    lab, ea, eb, ew, n: int, rounds: int, jumps: int, rank_tables=None
+):
     """Boruvka minimum spanning forest of each label component.
 
     Returns (E,) bool: edge is in the forest. Keys are (weight, edge id)
@@ -132,8 +134,11 @@ def _component_mst(lab, ea, eb, ew, n: int, rounds: int, jumps: int):
     # scatter-min over ids — identical minimizer (rank order IS the
     # (weight, id) lexicographic order), ~half the round's passes
     # (docs/dev/forest_stage_profile: this stage is gather-bound).
-    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
-    rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+    if rank_tables is None:
+        _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+        rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+    else:
+        rank, eid_by_rank = rank_tables
 
     def do_round(_, state):
         parent, tree = state
@@ -144,8 +149,13 @@ def _component_mst(lab, ea, eb, ew, n: int, rounds: int, jumps: int):
         best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
         has = best_r < big
         be = eid_by_rank[jnp.clip(best_r, 0, e - 1)]
-        ra_e = parent[ea[be]]
-        rb_e = parent[eb[be]]
+        # endpoint roots of the chosen edge from the per-edge root
+        # arrays already materialized this round: one packed row gather
+        # at be instead of four chained N-gathers
+        epack = jnp.stack([ra, rb], axis=1)
+        grb = epack[be]
+        ra_e = grb[:, 0]
+        rb_e = grb[:, 1]
         other = jnp.where(ra_e == me, rb_e, ra_e)
         # mutual pair = the two roots chose each other; only the larger
         # hooks (breaks the 2-cycle), everyone else hooks unconditionally
@@ -376,8 +386,11 @@ def _ancestor_doubling(parent, vals, iters: int):
 
 def _lex_lower_bound(k1, k2, q1, q2, iters: int):
     """First index i with (k1[i], k2[i]) >= (q1, q2) lexicographically.
-    k1/k2 sorted lexicographically ascending; vectorized binary search."""
+    k1/k2 sorted lexicographically ascending; vectorized binary search.
+    The two key columns are packed into (N, 2) rows so every search step
+    costs ONE N-sized row gather instead of two."""
     n = k1.shape[0]
+    kp = jnp.stack([k1, k2], axis=1)  # (N, 2) int32
     lo = jnp.zeros_like(q1)
     hi = jnp.full_like(q1, n)
 
@@ -385,9 +398,9 @@ def _lex_lower_bound(k1, k2, q1, q2, iters: int):
         lo, hi = lh
         active = lo < hi
         mid = (lo + hi) // 2
-        mc = jnp.clip(mid, 0, n - 1)
-        a1 = k1[mc]
-        a2 = k2[mc]
+        row = kp[jnp.clip(mid, 0, n - 1)]
+        a1 = row[:, 0]
+        a2 = row[:, 1]
         lt = (a1 < q1) | ((a1 == q1) & (a2 < q2))
         lo = jnp.where(active & lt, mid + 1, lo)
         hi = jnp.where(active & ~lt, mid, hi)
@@ -489,15 +502,25 @@ def build_forest_device(
     n = h * w
     logn = _ceil_log2(n) + 1
 
+    ea, eb = _grid_edges_idx(h, w)
+    ew = jnp.concatenate([wr.reshape(-1), wd.reshape(-1)]).astype(jnp.float32)
+    # ONE (weight, edge id) sort shared by segmentation and the
+    # component MST (identical edge layout: right edges row-major, then
+    # down) — each used to pay its own
+    eid = jnp.arange(ea.shape[0], dtype=jnp.int32)
+    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+    rank = jnp.zeros(ea.shape[0], jnp.int32).at[eid_by_rank].set(eid)
+
     lab = boruvka_segment(
-        wr, wd, c, min_size, rounds=seg_rounds, merge_rounds=seg_merge_rounds
+        wr, wd, c, min_size, rounds=seg_rounds,
+        merge_rounds=seg_merge_rounds, rank_tables=(rank, eid_by_rank),
     ).reshape(-1)
     lab = _compress_conv(lab)  # idempotent component root pixel ids
 
-    ea, eb = _grid_edges_idx(h, w)
-    ew = jnp.concatenate([wr.reshape(-1), wd.reshape(-1)]).astype(jnp.float32)
-
-    tree_edge = _component_mst(lab, ea, eb, ew, n, rounds=logn, jumps=logn)
+    tree_edge = _component_mst(
+        lab, ea, eb, ew, n, rounds=logn, jumps=logn,
+        rank_tables=(rank, eid_by_rank),
+    )
 
     t = _euler_tour(tree_edge, lab, ea, eb, h, w)
     parent, tsub = t["parent"], t["tsub"]

@@ -80,12 +80,17 @@ def boruvka_segment(
     min_size: int = 200,
     rounds: int = 12,
     merge_rounds: int = 6,
+    rank_tables=None,
 ) -> jax.Array:
     """Segment an image graph; returns (H, W) int32 component labels
     (= min flat pixel index of the component).
 
     wr: (H, W-1) right-edge weights; wd: (H-1, W) down-edge weights
     (the reference's L1 color differences, src/Stereo3DMST.cpp:83-94).
+    rank_tables: optional precomputed (rank, eid_by_rank) pair for the
+    same edge layout (right edges row-major, then down) — lets
+    build_forest_device share ONE (weight, id) sort between this pass
+    and the component MST.
     """
     h = wr.shape[0]
     w = wd.shape[1]
@@ -99,9 +104,12 @@ def boruvka_segment(
     # scatter-min over ids — the same minimizer (ranks order exactly by
     # (weight, id)), at ~half the round's scatter/gather passes. Gathers
     # are this builder's dominant TPU cost (docs/dev/forest_stage_profile).
-    eid = jnp.arange(e, dtype=jnp.int32)
-    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
-    rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+    if rank_tables is None:
+        eid = jnp.arange(e, dtype=jnp.int32)
+        _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+        rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+    else:
+        rank, eid_by_rank = rank_tables
 
     parent0 = jnp.arange(n, dtype=jnp.int32)
     size0 = jnp.ones(n, jnp.int32)
@@ -143,8 +151,17 @@ def boruvka_segment(
         best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
         has = best_r < big
         be = eid_by_rank[jnp.clip(best_r, 0, e - 1)]
-        ra_e = parent[ea[be]]
-        rb_e = parent[eb[be]]
+        # the chosen edge's endpoint roots and weight come from the
+        # per-edge arrays ALREADY materialized this round — one packed
+        # row gather at be instead of four chained N-gathers
+        # (parent[ea[be]], parent[eb[be]]) plus ew[be]
+        epack = jnp.stack(
+            [ra.astype(jnp.float32), rb.astype(jnp.float32), ew], axis=1
+        )
+        grb = epack[be]
+        ra_e = grb[:, 0].astype(jnp.int32)
+        rb_e = grb[:, 1].astype(jnp.int32)
+        bw = grb[:, 2]
         other = jnp.where(ra_e == me, rb_e, ra_e)
         # hook roots to their chosen neighbor root when that root is smaller
         # (hook-to-min guarantees acyclic hooks); larger-id side waits for a
@@ -157,7 +174,7 @@ def boruvka_segment(
         new_size = jnp.zeros(n, jnp.int32).at[p].add(1)
         contrib = jnp.where(
             parent == me,
-            jnp.maximum(wint, jnp.where(hooked, ew[be], 0.0)),
+            jnp.maximum(wint, jnp.where(hooked, bw, 0.0)),
             0.0,
         )
         new_wint = jnp.zeros(n).at[p].max(contrib)
