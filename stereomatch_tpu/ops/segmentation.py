@@ -95,6 +95,11 @@ def boruvka_segment(
     h = wr.shape[0]
     w = wd.shape[1]
     n = h * w
+    if n > (1 << 24):  # static shape check, free under jit
+        raise ValueError(
+            f"boruvka_segment: {n} pixels exceeds 2^24 — the packed "
+            "endpoint gather stores pixel ids in float32 mantissas"
+        )
     ea, eb, ew = _grid_edges(wr, wd)
     e = ea.shape[0]
 

@@ -141,3 +141,26 @@ def test_pyforest_fallback_matches_two_pass(rng):
     got = np.asarray(tree_filter(jnp2.asarray(cost_node), fa))
     expect = _reference_two_pass(f, cost_node, 1 / 12.0)
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_rank_tables_precomputed_matches_internal(rng):
+    """boruvka_segment with a caller-supplied (rank, eid_by_rank) pair
+    (the shared-sort path build_forest_device uses) is bit-identical to
+    the internal-sort path."""
+    import jax
+    from stereomatch_tpu.ops.segmentation import boruvka_segment
+
+    h, w = 24, 31
+    img = rng.random((h, w, 3)).astype(np.float32) * 255
+    wr = jnp.sum(jnp.abs(jnp.asarray(img[:, 1:]) - img[:, :-1]), -1)
+    wd = jnp.sum(jnp.abs(jnp.asarray(img[1:]) - img[:-1]), -1)
+    ew = jnp.concatenate([wr.reshape(-1), wd.reshape(-1)]).astype(jnp.float32)
+    eid = jnp.arange(ew.shape[0], dtype=jnp.int32)
+    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+    rank = jnp.zeros(ew.shape[0], jnp.int32).at[eid_by_rank].set(eid)
+
+    a = np.asarray(boruvka_segment(wr, wd, 300.0, 8))
+    b = np.asarray(
+        boruvka_segment(wr, wd, 300.0, 8, rank_tables=(rank, eid_by_rank))
+    )
+    assert (a == b).all()
