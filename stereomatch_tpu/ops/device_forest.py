@@ -307,21 +307,25 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     ccnt = jnp.zeros(m, jnp.int32).at[tgt].set(1, mode="drop")
 
     def wyllie_cond(state):
-        _, p, k = state
-        return (k < _ceil_log2(m) + 1) & jnp.any(p >= 0)
+        vp, k = state
+        return (k < _ceil_log2(m) + 1) & jnp.any(vp[:, 1] >= 0)
 
     def wyllie(state):
-        v, p, k = state
+        # (value, successor) ride ONE packed row gather per doubling
+        # round instead of two separate m-sized gathers at the same index
+        vp, k = state
+        p = vp[:, 1]
         has = p >= 0
-        pc = jnp.clip(p, 0, m - 1)
-        v = v + jnp.where(has, v[pc], 0)
-        p = jnp.where(has, p[pc], -1)
-        return v, p, k + 1
+        row = vp[jnp.clip(p, 0, m - 1)]
+        v = vp[:, 0] + jnp.where(has, row[:, 0], 0)
+        p = jnp.where(has, row[:, 1], -1)
+        return jnp.stack([v, p], axis=1), k + 1
 
-    ccnt, _, _ = jax.lax.while_loop(
-        wyllie_cond, wyllie, (ccnt, cnxt, jnp.int32(0))
+    vp, _ = jax.lax.while_loop(
+        wyllie_cond, wyllie,
+        (jnp.stack([ccnt, cnxt], axis=1), jnp.int32(0)),
     )
-    cnt = jnp.where(live, ccnt[jnp.clip(cpos, 0, m - 1)], 0)
+    cnt = jnp.where(live, vp[jnp.clip(cpos, 0, m - 1), 0], 0)
     tsize = jnp.zeros(n, jnp.int32).at[lab].add(1)  # per ROOT pixel
     arcs_tree = 2 * (tsize[root_of_arc] - 1)
     pos = jnp.where(live, arcs_tree - cnt, -1)  # 0-based within tree
@@ -366,20 +370,34 @@ def _ancestor_doubling(parent, vals, iters: int):
     typically ~8-10 on real segmentations vs the 21-round worst case.
     anc2 == anc everywhere implies every anc is already a root, which
     implies that round added only the roots' zero contributions and the
-    accumulation is complete."""
+    accumulation is complete.
+
+    All carried arrays PLUS the ancestor pointer ride ONE packed f32 row
+    gather per round (pointers are exact in f32 mantissas below 2^24
+    nodes — guarded by boruvka_segment upstream; int32 values must fit
+    f32 exactly too, true for the depth counts this module sums)."""
     del iters  # documented worst-case bound; convergence governs
+    k = len(vals)
+    cols = [v.astype(jnp.float32) for v in vals] + [
+        parent.astype(jnp.float32)
+    ]
+    pk0 = jnp.stack(cols, axis=1)  # (N, k+1)
 
     def body(state):
-        anc, vs, _ = state
-        vs = tuple(v + v[anc] for v in vs)
-        anc2 = anc[anc]
-        return anc2, vs, jnp.all(anc2 == anc)
+        pk, _ = state
+        anc = pk[:, k].astype(jnp.int32)
+        row = pk[anc]
+        anc2 = row[:, k]
+        vs = pk[:, :k] + row[:, :k]
+        done = jnp.all(anc2 == pk[:, k])
+        return jnp.concatenate([vs, anc2[:, None]], axis=1), done
 
     def cond(state):
-        return ~state[2]
+        return ~state[1]
 
-    _, out, _ = jax.lax.while_loop(
-        cond, body, (parent, tuple(vals), jnp.bool_(False))
+    pk, _ = jax.lax.while_loop(cond, body, (pk0, jnp.bool_(False)))
+    out = tuple(
+        pk[:, i].astype(vals[i].dtype) for i in range(k)
     )
     return out
 
