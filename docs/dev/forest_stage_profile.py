@@ -79,7 +79,7 @@ def main():
 
     # --- stage 2: component MST ---
     mst = jax.jit(lambda l: df._component_mst(
-        l, ea, eb, ew, n, rounds=logn, jumps=logn))
+        l, ea, eb, ew, n, rounds=logn, jumps=logn, hw=(h, w)))
     t, tree_edge = _time(mst, lab)
     out["s2_component_mst_s"] = round(t, 2)
 

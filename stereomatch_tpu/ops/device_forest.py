@@ -111,8 +111,32 @@ def _grid_edges_idx(h: int, w: int):
     return ea, eb
 
 
+def _at_ea(x, h: int, w: int):
+    """x[ea] as SLICES: the grid edge list is structured (right edges
+    row-major over x < w-1, then down edges row-major), so a per-pixel
+    array evaluated at every edge's a-endpoint is two static slices of
+    its (h, w) view — stream-class, never an E-sized gather. Works for
+    (N,) and (N, C) arrays."""
+    x2 = x.reshape((h, w) + x.shape[1:])
+    flat = (-1,) + x.shape[1:]
+    return jnp.concatenate(
+        [x2[:, :-1].reshape(flat), x2[:-1, :].reshape(flat)]
+    )
+
+
+def _at_eb(x, h: int, w: int):
+    """x[eb] as SLICES (see _at_ea): b-endpoints are x+1 for right
+    edges, y+1 for down edges."""
+    x2 = x.reshape((h, w) + x.shape[1:])
+    flat = (-1,) + x.shape[1:]
+    return jnp.concatenate(
+        [x2[:, 1:].reshape(flat), x2[1:, :].reshape(flat)]
+    )
+
+
 def _component_mst(
-    lab, ea, eb, ew, n: int, rounds: int, jumps: int, rank_tables=None
+    lab, ea, eb, ew, n: int, rounds: int, jumps: int, rank_tables=None,
+    hw=None,
 ):
     """Boruvka minimum spanning forest of each label component.
 
@@ -127,7 +151,12 @@ def _component_mst(
     big = jnp.int32(2**30)
     me = jnp.arange(n, dtype=jnp.int32)
     eid = jnp.arange(e, dtype=jnp.int32)
-    same = lab[ea] == lab[eb]
+    # per-edge endpoint reads are SLICES when the grid shape is known
+    # (_at_ea/_at_eb) — the edge index arrays are data-independent, and
+    # the compiler does not recognize the gather-by-affine-iota pattern
+    at_a = (lambda x: _at_ea(x, *hw)) if hw else (lambda x: x[ea])
+    at_b = (lambda x: _at_eb(x, *hw)) if hw else (lambda x: x[eb])
+    same = at_a(lab) == at_b(lab)
     # edge RANKS by (weight, edge id), computed once: the per-cluster
     # minimum key then needs ONE int32 scatter-min over ranks per round
     # instead of the float scatter-min + tie-break hit masks + second
@@ -142,8 +171,8 @@ def _component_mst(
 
     def do_round(_, state):
         parent, tree = state
-        ra = parent[ea]
-        rb = parent[eb]
+        ra = at_a(parent)
+        rb = at_b(parent)
         ok = same & (ra != rb)
         rv = jnp.where(ok, rank, big)
         best_r = jnp.full(n, big, jnp.int32).at[ra].min(rv).at[rb].min(rv)
@@ -253,10 +282,18 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
         jnp.where(is_right, 0, 1),
     ).astype(jnp.int32)
 
-    # live-incident lookup per (slot, pixel)
-    inc_live = jnp.where(
-        inc >= 0, tree_edge[jnp.clip(inc, 0, e - 1)], False
-    )  # (4, N)
+    # live-incident lookup per (slot, pixel): the incidence table is
+    # grid-structured, so each slot is a PADDED SLICE of the tree-edge
+    # halves (False off-grid) — four E-sized gathers become reshapes
+    ter = tree_edge[:er].reshape(h, w - 1)
+    ted = tree_edge[er:].reshape(h - 1, w)
+    inc_live = jnp.stack([
+        jnp.pad(ter, ((0, 0), (0, 1))).reshape(-1),  # R: off at x=w-1
+        jnp.pad(ted, ((0, 1), (0, 0))).reshape(-1),  # D: off at y=h-1
+        jnp.pad(ter, ((0, 0), (1, 0))).reshape(-1),  # L: off at x=0
+        jnp.pad(ted, ((1, 0), (0, 0))).reshape(-1),  # U: off at y=0
+    ])  # (4, N)
+    del inc
 
     # successor: next live outgoing slot after in_slot (cyclic); the
     # reverse arc's own slot is always live, so a hit is guaranteed.
@@ -266,7 +303,11 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     # (live flag + out arc, 4 slots each); the column select afterwards
     # works on already-gathered rows (elementwise, stream-class)
     slot_arc = jnp.where(inc_live, out_arc, -1).T  # (N, 4) int32
-    arcs4 = slot_arc[head]  # (na, 4)
+    # head = concat(eb, ea) is grid-structured -> endpoint SLICES, not
+    # an arc-sized row gather
+    arcs4 = jnp.concatenate(
+        [_at_eb(slot_arc, h, w), _at_ea(slot_arc, h, w)]
+    )  # (na, 4)
     succ = jnp.full(na, -1, jnp.int32)
     taken = jnp.zeros(na, bool)
     for off in range(1, 5):
@@ -281,7 +322,8 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     first_out = jnp.full(n, -1, jnp.int32)
     for k in (3, 2, 1, 0):  # reversed: first live slot wins
         first_out = jnp.where(inc_live[k], out_arc[k], first_out)
-    root_of_arc = lab[tail]
+    # tail = concat(ea, eb) is grid-structured -> endpoint slices
+    root_of_arc = jnp.concatenate([_at_ea(lab, h, w), _at_eb(lab, h, w)])
     start_arc = first_out[root_of_arc]
     nxt = jnp.where(live & (succ != start_arc), succ, -1)
     nxt = jnp.where(live, nxt, -1)
@@ -537,7 +579,7 @@ def build_forest_device(
 
     tree_edge = _component_mst(
         lab, ea, eb, ew, n, rounds=logn, jumps=logn,
-        rank_tables=(rank, eid_by_rank),
+        rank_tables=(rank, eid_by_rank), hw=(h, w),
     )
 
     t = _euler_tour(tree_edge, lab, ea, eb, h, w)
@@ -625,8 +667,8 @@ def build_forest_device(
 
     # inter-tree adjacency: cross-partition image edges -> unique
     # (lo, hi) tree-rank pairs -> directed CSR (ref treebuild.cpp:264-294)
-    ta = tree_rank[ea]
-    tb = tree_rank[eb]
+    ta = _at_ea(tree_rank, h, w)
+    tb = _at_eb(tree_rank, h, w)
     crossing = ta != tb
     lo = jnp.where(crossing, jnp.minimum(ta, tb), tmax)
     hi = jnp.where(crossing, jnp.maximum(ta, tb), tmax)

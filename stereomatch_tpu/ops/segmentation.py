@@ -140,8 +140,16 @@ def boruvka_segment(
         # replacing two chained E-sized ones per endpoint.
         aux = thr if gate else size.astype(jnp.float32)
         pack = jnp.stack([parent.astype(jnp.float32), aux[parent]], axis=1)
-        ga = pack[ea]
-        gb = pack[eb]
+        # the grid edge list is structured (right edges row-major, then
+        # down), so each endpoint read is two SLICES of the (h, w, 2)
+        # view — stream-class, never an E-sized gather
+        p2 = pack.reshape(h, w, 2)
+        ga = jnp.concatenate(
+            [p2[:, :-1].reshape(-1, 2), p2[:-1, :].reshape(-1, 2)]
+        )
+        gb = jnp.concatenate(
+            [p2[:, 1:].reshape(-1, 2), p2[1:, :].reshape(-1, 2)]
+        )
         ra = ga[:, 0].astype(jnp.int32)
         rb = gb[:, 0].astype(jnp.int32)
         cross = ra != rb
