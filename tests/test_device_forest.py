@@ -312,3 +312,26 @@ def test_capacity_checks_raise():
     )
     with pytest.raises(ValueError, match="exceeds"):
         device_forest_arrays(raw, 10, 12, tmax=2)
+
+
+@pytest.mark.parametrize("h,w", [(5, 7), (13, 18), (1, 9), (9, 1)])
+def test_slice_endpoint_reads_match_gather(h, w):
+    """_at_ea/_at_eb (grid endpoint reads as slices) must equal the
+    plain x[ea]/x[eb] gathers for every grid shape — the index algebra
+    the forest build's hot loops rely on."""
+    from stereomatch_tpu.ops.device_forest import (
+        _at_ea,
+        _at_eb,
+        _grid_edges_idx,
+    )
+
+    rng = np.random.default_rng(h * 100 + w)
+    ea, eb = _grid_edges_idx(h, w)
+    for shape in ((h * w,), (h * w, 3)):
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(_at_ea(x, h, w)), np.asarray(x[ea])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_at_eb(x, h, w)), np.asarray(x[eb])
+        )
