@@ -833,8 +833,11 @@ def _compose_full(extra):
         "note": "every term grounded in a same-run measurement: SGBM + "
         "volume + seed at stream rates (staged stage timings as "
         "cross-checks), forest from the staged probe's forest-only "
-        "timing converted via the tunnel's measured random-gather rate, "
-        "refine from the MST probe (gather-class derated)",
+        "timing converted via the tunnel's measured random-gather rate "
+        "(a deliberate UPPER bound: the round-5 build rewrites moved "
+        "much of its traffic to stream/slice class, still priced here "
+        "at random-gather rates), refine from the MST probe "
+        "(gather-class derated)",
     }
     print(f"sgbm_plus_mst_seeded_full: v5e fps {fps_full:.1f} "
           f"(all terms), terms {terms}", file=sys.stderr)
