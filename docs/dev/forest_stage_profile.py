@@ -78,8 +78,7 @@ def main():
         [wr.reshape(-1), wd.reshape(-1)]).astype(jnp.float32)
 
     # --- stage 2: component MST ---
-    mst = jax.jit(lambda l: df._component_mst(
-        l, ea, eb, ew, n, rounds=logn, jumps=logn, hw=(h, w)))
+    mst = jax.jit(lambda l: df._component_mst(l, ea, eb, ew, n, hw=(h, w)))
     t, tree_edge = _time(mst, lab)
     out["s2_component_mst_s"] = round(t, 2)
 

@@ -54,7 +54,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mst import ForestArrays, SegScanMaps
-from .segmentation import boruvka_segment
+from .segmentation import (
+    _at_ea,
+    _at_eb,
+    _edge_rank_tables,
+    _pointer_jump_conv as _compress_conv,
+    boruvka_segment,
+)
 
 __all__ = ["build_forest_device", "device_forest_arrays"]
 
@@ -66,31 +72,8 @@ def _ceil_log2(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
-def _compress(parent: jax.Array, iters: int) -> jax.Array:
-    return jax.lax.fori_loop(0, iters, lambda _, p: p[p], parent)
-
-
-def _compress_conv(parent: jax.Array) -> jax.Array:
-    """Pointer-jump to the fixpoint (p == p[p] everywhere) with a
-    convergence test instead of a blind log2(N) unroll. Same fixpoint,
-    typically FAR fewer N-sized gather rounds: inside the Boruvka MST
-    the post-hook chains have length <= ~3 (roots hook onto roots), so
-    ~2 rounds replace the old 21 — the fixed-round version spent
-    21 rounds x 21 jumps = 441 gather passes per build where ~30 carry
-    the same result (round-5 profiling; gathers are the forest build's
-    dominant cost on TPU). The extra cost is one N compare+reduce per
-    round, stream-rate cheap next to the gather it saves."""
-
-    def body(state):
-        p, _ = state
-        p2 = p[p]
-        return p2, jnp.all(p2 == p)
-
-    def cond(state):
-        return ~state[1]
-
-    p, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(False)))
-    return p
+# _compress_conv (pointer-jump-to-fixpoint) is segmentation's
+# _pointer_jump_conv — one shared implementation; see its docstring.
 
 
 # ---------------------------------------------------------------------------
@@ -111,33 +94,12 @@ def _grid_edges_idx(h: int, w: int):
     return ea, eb
 
 
-def _at_ea(x, h: int, w: int):
-    """x[ea] as SLICES: the grid edge list is structured (right edges
-    row-major over x < w-1, then down edges row-major), so a per-pixel
-    array evaluated at every edge's a-endpoint is two static slices of
-    its (h, w) view — stream-class, never an E-sized gather. Works for
-    (N,) and (N, C) arrays."""
-    x2 = x.reshape((h, w) + x.shape[1:])
-    flat = (-1,) + x.shape[1:]
-    return jnp.concatenate(
-        [x2[:, :-1].reshape(flat), x2[:-1, :].reshape(flat)]
-    )
+# _at_ea / _at_eb (grid endpoint reads as slices) are shared from
+# ops.segmentation — property-tested vs the plain gathers in
+# tests/test_device_forest.py.
 
 
-def _at_eb(x, h: int, w: int):
-    """x[eb] as SLICES (see _at_ea): b-endpoints are x+1 for right
-    edges, y+1 for down edges."""
-    x2 = x.reshape((h, w) + x.shape[1:])
-    flat = (-1,) + x.shape[1:]
-    return jnp.concatenate(
-        [x2[:, 1:].reshape(flat), x2[1:, :].reshape(flat)]
-    )
-
-
-def _component_mst(
-    lab, ea, eb, ew, n: int, rounds: int, jumps: int, rank_tables=None,
-    hw=None,
-):
+def _component_mst(lab, ea, eb, ew, n: int, rank_tables=None, hw=None):
     """Boruvka minimum spanning forest of each label component.
 
     Returns (E,) bool: edge is in the forest. Keys are (weight, edge id)
@@ -145,27 +107,23 @@ def _component_mst(
     the result is THE forest Kruskal-with-stable-ties would build and the
     per-round chosen-edge set is acyclic. All clusters hook every round
     (the classic 2-cycle between mutual minima is broken toward the
-    smaller root), so cluster count at least halves per round.
+    smaller root), so cluster count at least halves per round and the
+    convergence-tested round/compress loops stop at ceil(log2 N) rounds
+    worst case with no explicit bound needed.
     """
     e = ea.shape[0]
     big = jnp.int32(2**30)
     me = jnp.arange(n, dtype=jnp.int32)
-    eid = jnp.arange(e, dtype=jnp.int32)
     # per-edge endpoint reads are SLICES when the grid shape is known
     # (_at_ea/_at_eb) — the edge index arrays are data-independent, and
     # the compiler does not recognize the gather-by-affine-iota pattern
     at_a = (lambda x: _at_ea(x, *hw)) if hw else (lambda x: x[ea])
     at_b = (lambda x: _at_eb(x, *hw)) if hw else (lambda x: x[eb])
     same = at_a(lab) == at_b(lab)
-    # edge RANKS by (weight, edge id), computed once: the per-cluster
-    # minimum key then needs ONE int32 scatter-min over ranks per round
-    # instead of the float scatter-min + tie-break hit masks + second
-    # scatter-min over ids — identical minimizer (rank order IS the
-    # (weight, id) lexicographic order), ~half the round's passes
-    # (docs/dev/forest_stage_profile: this stage is gather-bound).
+    # edge RANKS by (weight, edge id): the per-cluster minimum key is
+    # ONE int32 scatter-min over ranks per round (see _edge_rank_tables)
     if rank_tables is None:
-        _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
-        rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+        rank, eid_by_rank = _edge_rank_tables(ew)
     else:
         rank, eid_by_rank = rank_tables
 
@@ -206,11 +164,9 @@ def _component_mst(
 
     parent0 = me
     tree0 = jnp.zeros(e, bool)
-    # converge instead of running the blind log2(N) round bound: cluster
+    # converge instead of running a blind log2(N) round bound: cluster
     # count at least halves per round, and a round with zero hooks is
-    # the fixpoint (the final extra round only discovers convergence).
-    # `rounds`/`jumps` stay as the documented worst-case bound.
-    del rounds, jumps
+    # the fixpoint (the final extra round only discovers convergence)
     _, tree, _ = jax.lax.while_loop(
         cond, body, (parent0, tree0, jnp.bool_(True))
     )
@@ -223,10 +179,12 @@ def _component_mst(
 
 
 def _incidence(h: int, w: int, er: int):
-    """(4, N) int32 incident edge id per pixel in circular R, D, L, U
-    order (-1 where off-grid), plus (4, N) int32 outgoing-arc id along
-    that edge (arc = edge for a->b, edge + E for b->a). iota, not numpy
-    constants (multi-MB literals blow up remote compiles, CLAUDE.md)."""
+    """(4, N) int32 OUTGOING-arc id per pixel along its incident edge in
+    circular R, D, L, U slot order (-1 where off-grid; arc = edge for
+    a->b, edge + E for b->a). The incident-EDGE table this used to also
+    return is dead since the padded-slice inc_live rewrite. iota, not
+    numpy constants (multi-MB literals blow up remote compiles,
+    CLAUDE.md)."""
     n = h * w
     e = er + (h - 1) * w
     p = jnp.arange(n, dtype=jnp.int32)
@@ -236,19 +194,12 @@ def _incidence(h: int, w: int, er: int):
     left = right - 1
     up = down - w
     neg = jnp.full((n,), -1, jnp.int32)
-    inc = jnp.stack([
-        jnp.where(xs < w - 1, right, neg),
-        jnp.where(ys < h - 1, down, neg),
-        jnp.where(xs > 0, left, neg),
-        jnp.where(ys > 0, up, neg),
-    ])
-    out = jnp.stack([
+    return jnp.stack([
         jnp.where(xs < w - 1, right, neg),  # pixel is endpoint a
         jnp.where(ys < h - 1, down, neg),  # endpoint a
         jnp.where(xs > 0, left + e, neg),  # endpoint b
         jnp.where(ys > 0, up + e, neg),  # endpoint b
     ])
-    return inc, out
 
 
 def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
@@ -262,7 +213,7 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
     er = h * (w - 1)
     e = ea.shape[0]
     na = 2 * e
-    inc, out_arc = _incidence(h, w, er)
+    out_arc = _incidence(h, w, er)
     aid = jnp.arange(na, dtype=jnp.int32)
     edge_of = jnp.where(aid < e, aid, aid - e)
     fwd = aid < e
@@ -293,7 +244,6 @@ def _euler_tour(tree_edge, lab, ea, eb, h: int, w: int):
         jnp.pad(ter, ((0, 0), (1, 0))).reshape(-1),  # L: off at x=0
         jnp.pad(ted, ((1, 0), (0, 0))).reshape(-1),  # U: off at y=0
     ])  # (4, N)
-    del inc
 
     # successor: next live outgoing slot after in_slot (cyclic); the
     # reverse arc's own slot is always live, so a hit is guaranteed.
@@ -419,6 +369,12 @@ def _ancestor_doubling(parent, vals, iters: int):
     nodes — guarded by boruvka_segment upstream; int32 values must fit
     f32 exactly too, true for the depth counts this module sums)."""
     del iters  # documented worst-case bound; convergence governs
+    if parent.shape[0] > (1 << 24):  # static check; enforced where the
+        # f32 packing actually corrupts, not just at the public entry
+        raise ValueError(
+            f"_ancestor_doubling: {parent.shape[0]} nodes exceeds 2^24 — "
+            "packed f32 rows cannot hold the ancestor pointers exactly"
+        )
     k = len(vals)
     cols = [v.astype(jnp.float32) for v in vals] + [
         parent.astype(jnp.float32)
@@ -567,9 +523,7 @@ def build_forest_device(
     # ONE (weight, edge id) sort shared by segmentation and the
     # component MST (identical edge layout: right edges row-major, then
     # down) — each used to pay its own
-    eid = jnp.arange(ea.shape[0], dtype=jnp.int32)
-    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
-    rank = jnp.zeros(ea.shape[0], jnp.int32).at[eid_by_rank].set(eid)
+    rank, eid_by_rank = _edge_rank_tables(ew)
 
     lab = boruvka_segment(
         wr, wd, c, min_size, rounds=seg_rounds,
@@ -578,8 +532,7 @@ def build_forest_device(
     lab = _compress_conv(lab)  # idempotent component root pixel ids
 
     tree_edge = _component_mst(
-        lab, ea, eb, ew, n, rounds=logn, jumps=logn,
-        rank_tables=(rank, eid_by_rank), hw=(h, w),
+        lab, ea, eb, ew, n, rank_tables=(rank, eid_by_rank), hw=(h, w)
     )
 
     t = _euler_tour(tree_edge, lab, ea, eb, h, w)

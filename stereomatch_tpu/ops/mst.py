@@ -430,6 +430,11 @@ def label_cost(
     x = (pix % f.width).astype(jnp.float32)
     y = (pix // f.width).astype(jnp.float32)
     d = x * a + y * b + c
+    if max_disp < 2:
+        # a D=1 volume has no in-range lerp pair (hi < max_disp is
+        # always false) — every plane costs the out-of-range 0.5, which
+        # the (1, 2)-slice gather below could not even trace
+        return jnp.full(d.shape, 0.5, jnp.float32)
     d_floor = jnp.floor(d)
     lo = d_floor.astype(jnp.int32)
     hi = lo + 1

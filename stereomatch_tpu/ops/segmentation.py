@@ -49,6 +49,45 @@ def _grid_edges(wr: jax.Array, wd: jax.Array):
     )
 
 
+def _at_ea(x, h: int, w: int):
+    """x[ea] as SLICES: the grid edge list is structured (right edges
+    row-major over x < w-1, then down edges row-major), so a per-pixel
+    array evaluated at every edge's a-endpoint is two static slices of
+    its (h, w) view — stream-class, never an E-sized gather. Works for
+    (N,) and (N, C) arrays. (Shared by this module and
+    ops/device_forest.py; property-tested against the plain gathers in
+    tests/test_device_forest.py.)"""
+    x2 = x.reshape((h, w) + x.shape[1:])
+    flat = (-1,) + x.shape[1:]
+    return jnp.concatenate(
+        [x2[:, :-1].reshape(flat), x2[:-1, :].reshape(flat)]
+    )
+
+
+def _at_eb(x, h: int, w: int):
+    """x[eb] as SLICES (see _at_ea): b-endpoints are x+1 for right
+    edges, y+1 for down edges."""
+    x2 = x.reshape((h, w) + x.shape[1:])
+    flat = (-1,) + x.shape[1:]
+    return jnp.concatenate(
+        [x2[:, 1:].reshape(flat), x2[1:, :].reshape(flat)]
+    )
+
+
+def _edge_rank_tables(ew: jax.Array):
+    """(rank, eid_by_rank) for (weight, edge id) lexicographic order:
+    rank[e] = position of edge e in the sorted order, eid_by_rank its
+    inverse. One sort; every Boruvka round's per-cluster minimum then
+    needs a single int32 scatter-min over ranks instead of a float
+    scatter-min plus tie-break masks plus a second scatter-min over
+    ids — the same minimizer (rank order IS the (weight, id) order)."""
+    e = ew.shape[0]
+    eid = jnp.arange(e, dtype=jnp.int32)
+    _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
+    rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+    return rank, eid_by_rank
+
+
 def _pointer_jump_conv(parent):
     """Pointer compression run to its FIXPOINT (p[p] == p everywhere)
     instead of a blind fixed jump count. Hook-to-min keeps real hook
@@ -56,8 +95,8 @@ def _pointer_jump_conv(parent):
     old schedule burned 12 N-sized gathers per segmentation round; the
     result is identical (full compression is the fixpoint of any jump
     count >= chain depth). One stream-cheap compare+reduce per round
-    buys the early exit — the same convergence-loop pattern as
-    device_forest._compress_conv."""
+    buys the early exit. (Shared: ops/device_forest.py imports this for
+    its label/segment-root compressions too.)"""
 
     def cond(s):
         _, done = s
@@ -110,9 +149,7 @@ def boruvka_segment(
     # (weight, id)), at ~half the round's scatter/gather passes. Gathers
     # are this builder's dominant TPU cost (docs/dev/forest_stage_profile).
     if rank_tables is None:
-        eid = jnp.arange(e, dtype=jnp.int32)
-        _, eid_by_rank = jax.lax.sort((ew, eid), num_keys=2)
-        rank = jnp.zeros(e, jnp.int32).at[eid_by_rank].set(eid)
+        rank, eid_by_rank = _edge_rank_tables(ew)
     else:
         rank, eid_by_rank = rank_tables
 
@@ -140,16 +177,9 @@ def boruvka_segment(
         # replacing two chained E-sized ones per endpoint.
         aux = thr if gate else size.astype(jnp.float32)
         pack = jnp.stack([parent.astype(jnp.float32), aux[parent]], axis=1)
-        # the grid edge list is structured (right edges row-major, then
-        # down), so each endpoint read is two SLICES of the (h, w, 2)
-        # view — stream-class, never an E-sized gather
-        p2 = pack.reshape(h, w, 2)
-        ga = jnp.concatenate(
-            [p2[:, :-1].reshape(-1, 2), p2[:-1, :].reshape(-1, 2)]
-        )
-        gb = jnp.concatenate(
-            [p2[:, 1:].reshape(-1, 2), p2[1:, :].reshape(-1, 2)]
-        )
+        # endpoint reads are SLICES of the (h, w, 2) view (_at_ea/_at_eb)
+        ga = _at_ea(pack, h, w)
+        gb = _at_eb(pack, h, w)
         ra = ga[:, 0].astype(jnp.int32)
         rb = gb[:, 0].astype(jnp.int32)
         cross = ra != rb
